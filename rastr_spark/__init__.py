@@ -13,6 +13,7 @@ higher-order functions, and vectorized Arrow pandas UDFs. No per-row Python.
 from .meta import Affine, Bounds, RasterMeta
 from .tiles import RasterFrame
 from .geometry import Geometry
+from . import operators  # attaches the fluent operator surface to RasterFrame
 
 __all__ = ["Affine", "Bounds", "RasterMeta", "RasterFrame", "Geometry"]
 __version__ = "0.1.0"

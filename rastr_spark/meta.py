@@ -255,4 +255,7 @@ def infer_cell_size(x: np.ndarray, y: np.ndarray) -> float:
         for k in range(len(chunk)):
             d2[k, i0 + k] = np.inf
         nn[i0 : i0 + block] = np.sqrt(d2.min(axis=1))
+    nn = nn[nn > 0]  # drop coincident duplicates (reference filters distances > 0)
+    if len(nn) == 0:
+        raise ValueError("all points are coincident; cannot infer cell size")
     return float(np.percentile(nn, 5)) / 2.0

@@ -33,7 +33,7 @@ LINE_KINDS = ("linestring", "multilinestring")
 POINT_KINDS = ("point", "multipoint")
 
 
-@dataclass
+@dataclass(eq=False)  # identity hash/eq — geometries are dict keys in replace_polygon
 class Geometry:
     kind: str
     coords: np.ndarray  # float64, shape (2n,)

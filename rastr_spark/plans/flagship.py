@@ -1,0 +1,172 @@
+"""The flagship query (BASELINE.json metric): end-to-end PIP-join + zonal stats over
+the interleaved document table.
+
+    docs → explode spans → resolve media_ref to tiles (equi-join on tile key)
+         → PIP against a broadcast polygon set (per-tile vectorized kernel)
+         → zonal partials (cnt/sum/sumsq/min/max masked per zone)
+         → groupBy (zone_id, doc_id) finalize
+
+Physical shape, by design:
+- the docs⋈tiles join is an **equi-join on (raster_id, tile_row, tile_col)**; the
+  tile side is pre-partitioned by cell_id, the doc side is exploded media refs.
+  Zipf-hot tiles are handled by **salting**: a pre-pass count picks per-tile salt
+  fan-outs, the tile side replicates salted rows, the doc side gets
+  ``salt = xxhash64(doc_id) % S`` (north rule "explicit salting for skewed dense
+  regions").
+- polygons are **broadcast** (closure-captured ndarray coords — tiny).
+- the PIP + masked partial agg runs ONCE per distinct (tile, zone) pair, then joins
+  back to (doc, tile) pairs — docs referencing the same hot tile reuse the kernel
+  output instead of recomputing it (the 100 TB regime has ~10⁶ docs per hot tile;
+  recomputing PIP per doc would be quadratic).
+- final agg is a partial/final hash agg on (zone_id, doc_id).
+
+Resumability: each named stage can be fenced through sources.checkpoint.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..geometry import Geometry, points_in_geometry
+from ..meta import RasterMeta
+from ..sources.documents import media_refs
+from ..tiles import RasterFrame
+
+TILE_ZONE_PARTIAL_SCHEMA = T.StructType(
+    [
+        T.StructField("tile_row", T.IntegerType(), False),
+        T.StructField("tile_col", T.IntegerType(), False),
+        T.StructField("zone_id", T.StringType(), False),
+        T.StructField("cnt", T.LongType(), False),
+        T.StructField("s", T.DoubleType(), False),
+        T.StructField("s2", T.DoubleType(), False),
+        T.StructField("mn", T.DoubleType(), True),
+        T.StructField("mx", T.DoubleType(), True),
+    ]
+)
+
+
+def tile_zone_partials(rf: RasterFrame, zones: Sequence[tuple[str, Geometry]]) -> DataFrame:
+    """Per (tile, zone) NaN-ignoring masked partials — the PIP kernel pass.
+
+    Runs once per tile regardless of how many documents reference the tile.
+    """
+    meta = rf.meta
+    zone_rows = [(zid, g.to_row(), g.bbox()) for zid, g in zones]
+
+    def kernel(pdf_iter):
+        zs = [(zid, Geometry.from_row(gr), bb) for zid, gr, bb in zone_rows]
+        Tsz = meta.tile_size
+        for pdf in pdf_iter:
+            recs = []
+            for v, tr, tc in zip(pdf["values"], pdf["tile_row"], pdf["tile_col"]):
+                tr, tc = int(tr), int(tc)
+                r0, c0 = tr * Tsz, tc * Tsz
+                th, tw = min(Tsz, meta.height - r0), min(Tsz, meta.width - c0)
+                rows = np.arange(r0, r0 + th, dtype=np.float64)
+                cols = np.arange(c0, c0 + tw, dtype=np.float64)
+                cg, rg = np.meshgrid(cols, rows)
+                x, y = meta.transform.forward(cg.ravel() + 0.5, rg.ravel() + 0.5)
+                arr = np.asarray(v, dtype=np.float64)
+                valid = ~np.isnan(arr)
+                if not valid.any():
+                    continue
+                txmin, txmax, tymin, tymax = x.min(), x.max(), y.min(), y.max()
+                for zid, geom, (bxmin, bymin, bxmax, bymax) in zs:
+                    if txmin > bxmax or txmax < bxmin or tymin > bymax or tymax < bymin:
+                        continue
+                    m = points_in_geometry(x, y, geom) & valid
+                    if not m.any():
+                        continue
+                    vals = arr[m]
+                    recs.append(
+                        (
+                            tr,
+                            tc,
+                            zid,
+                            int(len(vals)),
+                            float(vals.sum()),
+                            float((vals * vals).sum()),
+                            float(vals.min()),
+                            float(vals.max()),
+                        )
+                    )
+            yield pd.DataFrame(
+                recs, columns=["tile_row", "tile_col", "zone_id", "cnt", "s", "s2", "mn", "mx"]
+            )
+
+    return rf.df.select("tile_row", "tile_col", "values").mapInPandas(kernel, TILE_ZONE_PARTIAL_SCHEMA)
+
+
+def doc_zonal_stats(
+    docs: DataFrame,
+    rf: RasterFrame,
+    zones: Sequence[tuple[str, Geometry]],
+    *,
+    salt_threshold: int | None = None,
+) -> DataFrame:
+    """Flagship: per (zone_id, doc_id) zonal stats over each doc's referenced tiles.
+
+    ``salt_threshold``: if set, a pre-pass counts media refs per tile; tiles above
+    the threshold get a salt fan-out so the join's hot keys spread across
+    ceil(count/threshold) reducers. The partials side replicates (it is the small
+    side per key — one row per (tile, zone)).
+    """
+    refs = media_refs(docs).filter(F.col("raster_id") == rf.raster_id)
+    partials = tile_zone_partials(rf, zones)
+
+    if salt_threshold:
+        counts = refs.groupBy("tile_row", "tile_col").count()
+        hot = counts.filter(F.col("count") > salt_threshold).select(
+            "tile_row",
+            "tile_col",
+            F.ceil(F.col("count") / salt_threshold).cast("int").alias("n_salt"),
+        )
+        refs = refs.join(F.broadcast(hot), ["tile_row", "tile_col"], "left").withColumn(
+            "salt",
+            F.when(
+                F.col("n_salt").isNotNull(),
+                F.pmod(F.xxhash64("doc_id"), F.col("n_salt")).cast("int"),
+            ).otherwise(F.lit(0)),
+        ).drop("n_salt")
+        partials = partials.join(F.broadcast(hot), ["tile_row", "tile_col"], "left").withColumn(
+            "salt_arr",
+            F.when(
+                F.col("n_salt").isNotNull(),
+                F.sequence(F.lit(0), F.col("n_salt") - 1),
+            ).otherwise(F.array(F.lit(0))),
+        ).withColumn("salt", F.explode("salt_arr")).withColumn(
+            "salt", F.col("salt").cast("int")
+        ).drop("salt_arr", "n_salt")
+        join_keys = ["tile_row", "tile_col", "salt"]
+    else:
+        join_keys = ["tile_row", "tile_col"]
+
+    joined = refs.join(partials, join_keys, "inner")
+    return (
+        joined.groupBy("zone_id", "doc_id")
+        .agg(
+            F.sum("cnt").alias("cell_count"),
+            F.sum("s").alias("sum"),
+            F.min("mn").alias("min"),
+            F.max("mx").alias("max"),
+            (F.sum("s") / F.sum("cnt")).alias("mean"),
+        )
+    )
+
+
+def flagship_query(
+    spark: SparkSession,
+    docs: DataFrame,
+    rf: RasterFrame,
+    zones: Sequence[tuple[str, Geometry]],
+    *,
+    salt_threshold: int | None = 50_000,
+) -> DataFrame:
+    return doc_zonal_stats(docs, rf, zones, salt_threshold=salt_threshold)

@@ -1,38 +1,640 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (BASELINE.json: docs → media_ref→tile
+resolution → PIP join against broadcast polygons → zonal stats per (zone, doc))
+on sf0.001. ``queries()``/``oracle_sql()`` expose the engine's operators over the
+driver's parquet tables with DuckDB-verifiable semantics.
+
+Shared fixture: the "lineitem raster" — a deterministic 64×64 grid derived from
+lineitem (row = l_partkey % 64, col = l_suppkey % 64, value = sum(l_quantity)),
+cell 8.0 m, world 512×512 (EPSG:2193-style projected plane), tiles 16×16. All
+raster operators run on real tile DataFrames; oracles recompute the same
+semantics in ANSI SQL on the cell level.
+
+Float discipline for the value-hash comparison: integer-valued doubles are exact
+in both engines; every genuinely fractional aggregate is rounded (4-6 dp) on BOTH
+sides; distances/scores use plain multiplication + IEEE sqrt (exactly rounded →
+bit-identical), with deterministic tie-breaks.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+import rastr_spark  # noqa: F401 — attaches operator surface
+from rastr_spark.functions import dedup as D
+from rastr_spark.functions import similarity as S
+from rastr_spark.functions import text as TXT
+from rastr_spark.functions.multimodal import image_features, synthesize_media
+from rastr_spark.geometry import Geometry
+from rastr_spark.meta import Affine, RasterMeta
+from rastr_spark.operators.aggregates import tile_partials
+from rastr_spark.operators.joins import knn_join, mosaic, zonal_stats
+from rastr_spark.plans.flagship import doc_zonal_stats
+from rastr_spark.sources.documents import generate_documents
+from rastr_spark.tiles import RasterFrame
+
+GRID = 64
+CELL = 8.0
+WORLD = GRID * CELL  # 512.0
+TILE = 16
+META = RasterMeta(CELL, "EPSG:2193", Affine(CELL, 0, 0, 0, -CELL, WORLD), GRID, GRID, tile_size=TILE)
+
+_CELLS_SQL = f"""
+  SELECT l_partkey % {GRID} AS row, l_suppkey % {GRID} AS col,
+         sum(l_quantity) AS value
+  FROM lineitem GROUP BY 1, 2
+"""
+
+_TOKS_SQL = """
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts FROM documents
+"""
+
+_GRAMS_SQL = f"""
+  SELECT DISTINCT doc_id, array_to_string(ts[g:g+2], ' ') AS gram
+  FROM (SELECT doc_id, ts, unnest(range(1, greatest(len(ts) - 1, 2))) AS g FROM ({_TOKS_SQL}))
+  WHERE len(ts) >= 3
+"""
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _lineitem_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _read(spark, sf_dir, "lineitem")
+        .groupBy(
+            (F.col("l_partkey") % GRID).cast("int").alias("row"),
+            (F.col("l_suppkey") % GRID).cast("int").alias("col"),
+        )
+        .agg(F.sum("l_quantity").alias("value"))
+    )
+
+
+def _lineitem_raster(spark: SparkSession, sf_dir: str) -> RasterFrame:
+    return RasterFrame.from_cells(_lineitem_cells(spark, sf_dir), META, raster_id="li")
+
+
+def _nonnan_cells(rf: RasterFrame) -> DataFrame:
+    return rf.cells(drop_nan=True)
+
+
+# ---------------------------------------------------------------------------
+# entry: flagship smoke on sf0.001
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    sf_dir = "/root/testdata/sf0.001"
+    rf = _lineitem_raster(spark, sf_dir)
+    docs = generate_documents(
+        spark, 500, seed=42, n_tile_rows=META.n_tile_rows, n_tile_cols=META.n_tile_cols,
+        raster_id="li", world_size=WORLD,
+    )
+    zones = [
+        ("nw", Geometry.box(0, 256, 256, 512)),
+        ("ne", Geometry.box(256, 256, 512, 512)),
+        ("sw", Geometry.box(0, 0, 256, 256)),
+        ("se", Geometry.box(256, 0, 512, 512)),
+        ("tri", Geometry.polygon([(0, 0), (513, 0), (0, 513)])),
+    ]
+    return doc_zonal_stats(docs, rf, zones, salt_threshold=100)
+
+
+# ---------------------------------------------------------------------------
+# queries + oracles
+# ---------------------------------------------------------------------------
+
+def _q_raster_stats(spark, sf_dir):
+    rf = _lineitem_raster(spark, sf_dir)
+    part = rf.df.select(tile_partials(F.col("values")).alias("p"))
+    return part.agg(
+        F.sum("p.cnt").alias("n_cells"),
+        F.sum("p.s").alias("sum_v"),
+        F.round(F.sum("p.s") / F.sum("p.cnt"), 6).alias("mean_v"),
+        F.min("p.mn").alias("min_v"),
+        F.max("p.mx").alias("max_v"),
+        F.round(
+            F.sqrt(
+                F.greatest(
+                    F.sum("p.s2") / F.sum("p.cnt") - F.pow(F.sum("p.s") / F.sum("p.cnt"), 2),
+                    F.lit(0.0),
+                )
+            ),
+            6,
+        ).alias("std_v"),
+    )
+
+
+_ORACLE_RASTER_STATS = f"""
+WITH cells AS ({_CELLS_SQL})
+SELECT count(value) AS n_cells, sum(value) AS sum_v,
+       round(sum(value) / count(value), 6) AS mean_v,
+       min(value) AS min_v, max(value) AS max_v,
+       round(sqrt(greatest(sum(value*value)/count(value) - (sum(value)/count(value))*(sum(value)/count(value)), 0.0)), 6) AS std_v
+FROM cells
+"""
+
+
+_ZONES = [
+    ("nw", (0.0, 256.0, 256.0, 512.0)),
+    ("ne", (256.0, 256.0, 512.0, 512.0)),
+    ("sw", (0.0, 0.0, 256.0, 256.0)),
+    ("se", (256.0, 0.0, 512.0, 256.0)),
+]
+
+
+def _q_zonal_stats(spark, sf_dir):
+    rf = _lineitem_raster(spark, sf_dir)
+    zones = [(zid, Geometry.box(*bb)) for zid, bb in _ZONES]
+    zones.append(("tri", Geometry.polygon([(0, 0), (513, 0), (0, 513)])))
+    out = zonal_stats(rf, zones)
+    return out.select(
+        "zone_id",
+        F.col("count").alias("n_cells"),
+        F.col("sum").alias("sum_v"),
+        F.col("min").alias("min_v"),
+        F.col("max").alias("max_v"),
+        F.round("mean", 6).alias("mean_v"),
+        F.round("std", 6).alias("std_v"),
+    )
+
+
+_ORACLE_ZONAL = f"""
+WITH cells AS ({_CELLS_SQL}),
+cent AS (SELECT row, col, value, col*8 + 4.0 AS x, 512.0 - row*8 - 4.0 AS y FROM cells),
+zones AS (
+  SELECT 'nw' AS zone_id, 0.0 xmin, 256.0 ymin, 256.0 xmax, 512.0 ymax UNION ALL
+  SELECT 'ne', 256.0, 256.0, 512.0, 512.0 UNION ALL
+  SELECT 'sw', 0.0, 0.0, 256.0, 256.0 UNION ALL
+  SELECT 'se', 256.0, 0.0, 512.0, 256.0
+),
+boxed AS (
+  SELECT z.zone_id, c.value FROM cent c JOIN zones z
+  ON c.x > z.xmin AND c.x < z.xmax AND c.y > z.ymin AND c.y < z.ymax
+  UNION ALL
+  SELECT 'tri', value FROM cent WHERE x > 0 AND y > 0 AND x + y < 513
+)
+SELECT zone_id, count(*) AS n_cells, sum(value) AS sum_v, min(value) AS min_v, max(value) AS max_v,
+       round(sum(value)/count(*), 6) AS mean_v,
+       round(sqrt(greatest(sum(value*value)/count(*) - (sum(value)/count(*))*(sum(value)/count(*)), 0.0)), 6) AS std_v
+FROM boxed GROUP BY zone_id
+"""
+
+
+def _q_raster_add(spark, sf_dir):
+    a = _lineitem_raster(spark, sf_dir)
+    b_cells = (
+        _read(spark, sf_dir, "lineitem")
+        .groupBy(
+            (F.col("l_partkey") % GRID).cast("int").alias("row"),
+            (F.col("l_suppkey") % GRID).cast("int").alias("col"),
+        )
+        .agg(F.sum("l_linenumber").alias("value"))
+    )
+    b = RasterFrame.from_cells(b_cells, META, raster_id="li2")
+    return _nonnan_cells(a + b)
+
+
+_ORACLE_RASTER_ADD = f"""
+WITH a AS ({_CELLS_SQL}),
+b AS (SELECT l_partkey % {GRID} AS row, l_suppkey % {GRID} AS col, sum(l_linenumber) AS value
+      FROM lineitem GROUP BY 1, 2)
+SELECT a.row AS row, a.col AS col, a.value + b.value AS value
+FROM a JOIN b ON a.row = b.row AND a.col = b.col
+"""
+
+
+def _q_sample_points(spark, sf_dir):
+    rf = _lineitem_raster(spark, sf_dir)
+    pts = _read(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"),
+        ((F.col("o_orderkey") % 512) + 0.5).cast("double").alias("x"),
+        (((F.col("o_custkey") * 7) % 512) + 0.5).cast("double").alias("y"),
+    )
+    out = rf.sample_df(pts)
+    return out.select(
+        "o_orderkey", "x", "y", F.when(F.isnan("value"), F.lit(-1.0)).otherwise(F.col("value")).alias("value")
+    )
+
+
+_ORACLE_SAMPLE = f"""
+WITH cells AS ({_CELLS_SQL}),
+pts AS (SELECT o_orderkey, ((o_orderkey % 512) + 0.5)::double AS x, (((o_custkey * 7) % 512) + 0.5)::double AS y FROM orders)
+SELECT p.o_orderkey AS o_orderkey, p.x AS x, p.y AS y, coalesce(c.value, -1.0) AS value
+FROM pts p LEFT JOIN cells c
+ON c.col = CAST(floor(p.x / 8) AS INT) AND c.row = CAST(floor((512.0 - p.y) / 8) AS INT)
+"""
+
+
+def _q_mosaic(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    a_cells = (
+        li.filter(F.col("l_returnflag") == "R")
+        .groupBy(
+            (F.col("l_partkey") % GRID).cast("int").alias("row"),
+            (F.col("l_suppkey") % GRID).cast("int").alias("col"),
+        )
+        .agg((F.sum("l_quantity") * 1000).alias("value"))
+    )
+    a = RasterFrame.from_cells(a_cells, META, raster_id="a")
+    b = _lineitem_raster(spark, sf_dir)
+    return _nonnan_cells(mosaic([a, b]))
+
+
+_ORACLE_MOSAIC = f"""
+WITH a AS (
+  SELECT l_partkey % {GRID} AS row, l_suppkey % {GRID} AS col, sum(l_quantity) * 1000 AS value
+  FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1, 2
+),
+b AS ({_CELLS_SQL})
+SELECT coalesce(a.row, b.row) AS row, coalesce(a.col, b.col) AS col,
+       coalesce(a.value, b.value) AS value
+FROM a FULL OUTER JOIN b ON a.row = b.row AND a.col = b.col
+"""
+
+
+def _q_quantiles(spark, sf_dir):
+    rf = _lineitem_raster(spark, sf_dir)
+    v = rf.cells(drop_nan=True)
+    return v.agg(
+        F.round(F.percentile("value", F.lit(0.25)), 6).alias("p25"),
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+    )
+
+
+_ORACLE_QUANTILES = f"""
+WITH cells AS ({_CELLS_SQL})
+SELECT round(quantile_cont(value, 0.25), 6) AS p25,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90
+FROM cells
+"""
+
+
+def _q_crop(spark, sf_dir):
+    rf = _lineitem_raster(spark, sf_dir)
+    return rf.crop((64.0, 64.0, 448.0, 448.0)).cells(drop_nan=True)
+
+
+_ORACLE_CROP = f"""
+WITH cells AS ({_CELLS_SQL})
+SELECT row - 8 AS row, col - 8 AS col, value
+FROM cells WHERE row BETWEEN 8 AND 55 AND col BETWEEN 8 AND 55
+"""
+
+
+def _q_vectorize(spark, sf_dir):
+    rf = _lineitem_raster(spark, sf_dir)
+    c = rf.cells(drop_nan=True)
+    x = (F.col("col") * CELL + CELL / 2).alias("x")
+    y = (F.lit(WORLD) - F.col("row") * CELL - CELL / 2).alias("y")
+    return c.select(
+        "row", "col", x, y,
+        (F.col("col") * CELL).alias("xmin"),
+        (F.lit(WORLD) - (F.col("row") + 1) * CELL).alias("ymin"),
+        ((F.col("col") + 1) * CELL).alias("xmax"),
+        (F.lit(WORLD) - F.col("row") * CELL).alias("ymax"),
+        "value",
+    )
+
+
+_ORACLE_VECTORIZE = f"""
+WITH cells AS ({_CELLS_SQL})
+SELECT row, col, (col*8 + 4.0)::double AS x, (512.0 - row*8 - 4.0)::double AS y,
+       (col*8.0)::double AS xmin, (512.0 - (row+1)*8.0)::double AS ymin,
+       ((col+1)*8.0)::double AS xmax, (512.0 - row*8.0)::double AS ymax,
+       value
+FROM cells
+"""
+
+
+def _q_knn(spark, sf_dir):
+    rf = _lineitem_raster(spark, sf_dir)
+    cent = rf.cells(drop_nan=True).select(
+        (F.col("col") * CELL + CELL / 2).alias("x"),
+        (F.lit(WORLD) - F.col("row") * CELL - CELL / 2).alias("y"),
+    )
+    qs = _read(spark, sf_dir, "customer").filter(F.col("c_custkey") % 75 == 0).select(
+        F.col("c_custkey").alias("query_id"),
+        (((F.col("c_custkey") * 37) % 512) + 0.25).cast("double").alias("x"),
+        (((F.col("c_custkey") * 53) % 512) + 0.75).cast("double").alias("y"),
+    )
+    out = knn_join(cent, qs, 3, cell_size=64.0)
+    return out.select(
+        "query_id", "rank", F.round("distance", 4).alias("distance"),
+        F.col("x_nn"), F.col("y_nn"),
+    )
+
+
+_ORACLE_KNN = f"""
+WITH cells AS ({_CELLS_SQL}),
+cent AS (SELECT (col*8 + 4.0)::double AS x, (512.0 - row*8 - 4.0)::double AS y FROM cells),
+q AS (SELECT c_custkey AS query_id, (((c_custkey*37) % 512) + 0.25)::double AS x, (((c_custkey*53) % 512) + 0.75)::double AS y
+      FROM customer WHERE c_custkey % 75 = 0),
+d AS (SELECT q.query_id, c.x AS x_nn, c.y AS y_nn,
+             sqrt((c.x - q.x)*(c.x - q.x) + (c.y - q.y)*(c.y - q.y)) AS dist
+      FROM q, cent c)
+SELECT query_id, rank, round(dist, 4) AS distance, x_nn, y_nn
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, x_nn, y_nn) AS rank FROM d)
+WHERE rank <= 3
+"""
+
+
+def _dup_docs(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents")
+    copy = d.filter(F.col("doc_id") < 100).select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    return d.select("doc_id", "text").unionByName(copy)
+
+
+def _q_dedup_exact(spark, sf_dir):
+    return D.exact_duplicates(_dup_docs(spark, sf_dir)).select("canonical_id", "dup_count")
+
+
+_ORACLE_DEDUP_EXACT = """
+WITH alldocs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 100
+)
+SELECT min(doc_id) AS canonical_id, count(*) AS dup_count
+FROM alldocs GROUP BY text HAVING count(*) >= 2
+"""
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents")
+    out = D.ngram_jaccard_pairs(d, n=3, threshold=0.5)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+_ORACLE_JACCARD = f"""
+WITH grams AS ({_GRAMS_SQL}),
+sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM grams a JOIN grams b USING (gram) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(i::double / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+WHERE i::double / (sa.n + sb.n - i) >= 0.5
+"""
+
+
+def _q_token_stats(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(TXT.tokens(F.col("text"))).alias("tok"))
+    stop = F.when(F.col("tok").isin(TXT.STOPWORDS), 1).otherwise(0)
+    return toks.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("tok").alias("n_distinct"),
+        F.round(F.avg(F.length("tok")), 6).alias("avg_len"),
+        F.round(F.sum(stop) / F.count("*"), 6).alias("stop_ratio"),
+    )
+
+
+_STOP_SQL = "('" + "', '".join(TXT.STOPWORDS) + "')"
+
+_ORACLE_TOKEN_STATS = f"""
+WITH toks AS (SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS tok FROM documents)
+SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct,
+       round(avg(length(tok)), 6) AS avg_len,
+       round(sum(CASE WHEN tok IN {_STOP_SQL} THEN 1 ELSE 0 END)::double / count(*), 6) AS stop_ratio
+FROM toks GROUP BY doc_id
+"""
+
+
+def _q_quality_langid(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TXT.quality_score(F.col("text")).alias("quality"),
+        TXT.lang_id(F.col("text")).alias("lang"),
+    )
+
+
+_ORACLE_QUALITY = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts,
+         length(regexp_replace(text, '[\\x00-\\x7F]', '', 'g')) > 0 AS non_ascii
+  FROM documents
+),
+m AS (
+  SELECT doc_id, non_ascii, len(ts) AS n,
+         (SELECT coalesce(sum(length(x.t)), 0) FROM unnest(ts) AS x(t))::double / greatest(len(ts), 1) AS avg_len,
+         (SELECT coalesce(sum(CASE WHEN x.t IN {_STOP_SQL} THEN 1 ELSE 0 END), 0) FROM unnest(ts) AS x(t))::double
+            / greatest(len(ts), 1) AS stop_ratio
+  FROM t
+)
+SELECT doc_id,
+  round((CASE WHEN n >= 10 AND n <= 100000 THEN 0.4 ELSE 0.0 END)
+      + (CASE WHEN stop_ratio >= 0.05 THEN 0.3 ELSE 0.0 END)
+      + (CASE WHEN avg_len >= 2.0 AND avg_len <= 12.0 THEN 0.3 ELSE 0.0 END), 2) AS quality,
+  CASE WHEN non_ascii THEN 'other' WHEN stop_ratio >= 0.05 THEN 'en' ELSE 'unk' END AS lang
+FROM m
+"""
+
+
+def _q_minhash_lsh(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents")
+    return D.minhash_lsh_buckets(d, n=3, num_hashes=8, bands=4).select("id", "band", "bucket")
+
+
+def _minhash_oracle() -> str:
+    mins = ", ".join(f"min(md5(gram || ':{i}')) AS h{i}" for i in range(8))
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id AS id, {bi} AS band, h{2*bi} || '|' || h{2*bi+1} AS bucket FROM sig"
+        for bi in range(4)
+    )
+    return f"WITH grams AS ({_GRAMS_SQL}), sig AS (SELECT doc_id, {mins} FROM grams GROUP BY doc_id) {bands}"
+
+
+def _q_embedding_topk(spark, sf_dir):
+    e = _read(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = S.cosine_topk(e, qs, 5)
+    return out.select("query_id", "vec_id", "rank", F.round("score", 6).alias("score"))
+
+
+_ORACLE_TOPK = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+pairs AS (SELECT v.vec_id, q.qid, v.embedding AS ve, q.qe AS qe FROM embeddings v, q),
+comp AS (
+  SELECT qid, vec_id, sum(a * b) AS dot, sum(a * a) AS na, sum(b * b) AS nb
+  FROM (SELECT qid, vec_id, unnest(ve)::double AS a, unnest(qe)::double AS b FROM pairs)
+  GROUP BY qid, vec_id
+)
+SELECT qid AS query_id, vec_id, rank, round(dot / (sqrt(na) * sqrt(nb)), 6) AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id) AS rank
+      FROM comp)
+WHERE rank <= 5
+"""
+
+
+def _q_events_hourly(spark, sf_dir):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    e = _read(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+_ORACLE_EVENTS = """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
+       count(*) AS n, round(avg(value), 6) AS avg_value, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def _q_tpch_q1(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_ORACLE_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _q_nation_revenue(spark, sf_dir):
+    """Broadcast-join chain: customer ⋈ orders ⋈ nation → revenue per nation."""
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    n = _read(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"), F.count("*").alias("n_orders"))
+    )
+
+
+_ORACLE_NATION_REVENUE = """
+SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# -- rows-only queries (no SQL-expressible oracle) ---------------------------
+
+def _q_flagship(spark, sf_dir):
+    rf = _lineitem_raster(spark, sf_dir)
+    docs = generate_documents(
+        spark, 2000, seed=42, n_tile_rows=META.n_tile_rows, n_tile_cols=META.n_tile_cols,
+        raster_id="li", world_size=WORLD,
+    )
+    zones = [(zid, Geometry.box(*bb)) for zid, bb in _ZONES]
+    out = doc_zonal_stats(docs, rf, zones, salt_threshold=200)
+    return out.select(
+        "zone_id", "doc_id", "cell_count",
+        F.round("sum", 4).alias("sum_v"), F.round("mean", 6).alias("mean_v"),
+    )
+
+
+def _q_simhash(spark, sf_dir):
+    return D.simhash_groups(_dup_docs(spark, sf_dir)).select("simhash", "n", "canonical_id")
+
+
+def _q_srp_topk(spark, sf_dir):
+    e = _read(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = S.srp_topk(e, qs, 5, dim=64, n_planes=6)
+    return out.select("query_id", "vec_id", "rank", F.round("score", 6).alias("score"))
+
+
+def _q_multimodal_features(spark, sf_dir):
+    media = synthesize_media(spark, 300)
+    feats = image_features(media, grid=4, fake_decode=True)
+    return feats.select(
+        "media_id",
+        F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x.cast("double")), 6).alias("feat_sum"),
+        F.size("feature").alias("feat_dim"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "raster_stats": _q_raster_stats,
+        "raster_zonal_stats": _q_zonal_stats,
+        "raster_add": _q_raster_add,
+        "raster_sample_points": _q_sample_points,
+        "raster_mosaic_first_wins": _q_mosaic,
+        "raster_quantiles": _q_quantiles,
+        "raster_crop": _q_crop,
+        "raster_vectorize_fishnet": _q_vectorize,
+        "raster_knn": _q_knn,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_ngram_jaccard,
+        "dedup_minhash_lsh": _q_minhash_lsh,
+        "text_token_stats": _q_token_stats,
+        "text_quality_langid": _q_quality_langid,
+        "sim_embedding_topk": _q_embedding_topk,
+        "events_hourly": _q_events_hourly,
+        "tpch_q1_pricing_summary": _q_tpch_q1,
+        "nation_revenue_join": _q_nation_revenue,
+        # rows-only (no SQL-expressible oracle):
+        "flagship_doc_zonal": _q_flagship,
+        "dedup_simhash": _q_simhash,
+        "sim_srp_topk": _q_srp_topk,
+        "multimodal_image_features": _q_multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "raster_stats": _ORACLE_RASTER_STATS,
+        "raster_zonal_stats": _ORACLE_ZONAL,
+        "raster_add": _ORACLE_RASTER_ADD,
+        "raster_sample_points": _ORACLE_SAMPLE,
+        "raster_mosaic_first_wins": _ORACLE_MOSAIC,
+        "raster_quantiles": _ORACLE_QUANTILES,
+        "raster_crop": _ORACLE_CROP,
+        "raster_vectorize_fishnet": _ORACLE_VECTORIZE,
+        "raster_knn": _ORACLE_KNN,
+        "dedup_exact": _ORACLE_DEDUP_EXACT,
+        "dedup_ngram_jaccard": _ORACLE_JACCARD,
+        "dedup_minhash_lsh": _minhash_oracle(),
+        "text_token_stats": _ORACLE_TOKEN_STATS,
+        "text_quality_langid": _ORACLE_QUALITY,
+        "sim_embedding_topk": _ORACLE_TOPK,
+        "events_hourly": _ORACLE_EVENTS,
+        "tpch_q1_pricing_summary": _ORACLE_TPCH_Q1,
+        "nation_revenue_join": _ORACLE_NATION_REVENUE,
+    }

@@ -1,0 +1,163 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ..., "docs_per_sec": ...}
+
+The flagship query is the BASELINE.json metric: docs → media_ref→tile resolution →
+PIP join against broadcast polygons → zonal stats per (zone, doc), measured as
+docs/sec around the triggering action only (inputs pre-materialized + cached).
+Run scripts/scaling_run.py for the N-vs-4N parallelism evidence (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+import __spark_entry__ as E
+from rastr_spark.geometry import Geometry
+from rastr_spark.meta import Affine, RasterMeta
+from rastr_spark.plans.flagship import doc_zonal_stats
+from rastr_spark.sources.documents import generate_documents
+from rastr_spark.tiles import RasterFrame
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "200000"))
+
+# bench raster: 2048×2048 cells, T=256 → 64 tiles, world 16384 m @ 8 m cells
+BENCH_GRID = 2048
+BENCH_CELL = 8.0
+BENCH_WORLD = BENCH_GRID * BENCH_CELL
+BENCH_META = RasterMeta(
+    BENCH_CELL, "EPSG:2193", Affine(BENCH_CELL, 0, 0, 0, -BENCH_CELL, BENCH_WORLD),
+    BENCH_GRID, BENCH_GRID, tile_size=256,
+)
+
+
+def bench_zones() -> list[tuple[str, Geometry]]:
+    """~12 polygons incl. a concave horseshoe; a few concentrated on hot (low-index)
+    tiles to stress the skew path (FIXTURES.md §6)."""
+    zs: list[tuple[str, Geometry]] = []
+    w = BENCH_WORLD
+    for i in range(3):
+        for j in range(3):
+            zs.append(
+                (f"box_{i}{j}", Geometry.box(i * w / 3, j * w / 3, (i + 1) * w / 3, (j + 1) * w / 3))
+            )
+    zs.append(("hot_corner", Geometry.box(0, w * 0.75, w * 0.25, w)))  # covers the Zipf-hot tiles
+    zs.append(
+        ("horseshoe", Geometry.polygon(
+            [(0, 0), (w, 0), (w, w), (0.7 * w, w), (0.7 * w, 0.3 * w), (0.3 * w, 0.3 * w), (0.3 * w, w), (0, w)]
+        ))
+    )
+    zs.append(("tri", Geometry.polygon([(0, 0), (w + 1, 0), (0, w + 1)])))
+    return zs
+
+
+def build_bench_raster(spark: SparkSession) -> RasterFrame:
+    """Deterministic synthetic tile table, generated distributively (no driver data):
+    value = sin-based function of global (row, col), ~1% NaN holes."""
+    base = RasterFrame.full(spark, BENCH_META, 0.0, raster_id="bench")
+    Tsz = BENCH_META.tile_size
+    df = base.df.select(
+        "raster_id",
+        "tile_row",
+        "tile_col",
+        "cell_id",
+        F.transform(
+            F.sequence(F.lit(0), F.size("values") - 1),
+            lambda i: F.when(
+                F.pmod(F.xxhash64(F.col("tile_row") * 1000000 + F.col("tile_col") * 10000 + i), 100) < 1,
+                F.lit(float("nan")),
+            ).otherwise(
+                F.sin((F.col("tile_row") * Tsz + (i / Tsz).cast("int")).cast("double") / 97.0)
+                + F.cos((F.col("tile_col") * Tsz + i % Tsz).cast("double") / 101.0)
+            ),
+        ).alias("values"),
+    )
+    return RasterFrame(df, BENCH_META, "bench")
+
+
+def timed(fn):
+    t0 = time.time()
+    n = fn()
+    return time.time() - t0, n
+
+
+def main():
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("rastr-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(CPUS * 2, 32)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    results: dict[str, float] = {}
+
+    # -- flagship: PIP-join + zonal stats over the interleaved doc table --------
+    rf = build_bench_raster(spark)
+    rf = RasterFrame(rf.df.cache(), rf.meta, rf.raster_id)
+    rf.df.count()  # materialize input (input prep excluded from the timed action)
+    docs = generate_documents(
+        spark, N_DOCS, seed=42, n_tile_rows=BENCH_META.n_tile_rows,
+        n_tile_cols=BENCH_META.n_tile_cols, raster_id="bench", world_size=BENCH_WORLD,
+    ).cache()
+    n_docs = docs.count()
+    zones = bench_zones()
+
+    t_flagship, _ = timed(lambda: doc_zonal_stats(docs, rf, zones, salt_threshold=20000).count())
+    results["flagship_doc_zonal"] = round(t_flagship, 3)
+    docs_per_sec = n_docs / t_flagship
+
+    # -- raster operator suite on the sf tables ---------------------------------
+    qs = E.queries()
+    for name in [
+        "raster_zonal_stats",
+        "raster_sample_points",
+        "raster_add",
+        "raster_knn",
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "sim_embedding_topk",
+        "text_token_stats",
+        "tpch_q1_pricing_summary",
+    ]:
+        t, _ = timed(lambda name=name: qs[name](spark, SF_DIR).count())
+        results[name] = round(t, 3)
+
+    total = round(sum(results.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "pip-join+zonal-stats end-to-end suite wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": results,
+                "sf": SF_DIR,
+                "cpus": CPUS,
+                "n_docs": n_docs,
+                "docs_per_sec": round(docs_per_sec, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,131 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media payloads are opaque ``binary`` columns + typed metadata structs; all
+decode/resize/frame-sample kernels run as Arrow-batched ``mapInPandas`` stages so
+the Spark-side contract (schema, partitioning, batch shape) is real and tested even
+though the codec libraries are absent in this container — the decode step itself is
+STUBBED: ``decode_image`` raises NotImplementedError unless ``fake=True``, in which
+case a deterministic fake decoder (seeded from the bytes) produces stable
+pseudo-pixels so downstream feature extraction is exercisable end-to-end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("channels", T.IntegerType(), True),
+                    T.StructField("sample_rate", T.IntegerType(), True),
+                    T.StructField("n_frames", T.IntegerType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), False),
+    ]
+)
+
+
+def decode_image(payload: bytes, width: int, height: int, channels: int, *, fake: bool = False) -> np.ndarray:
+    """STUB: real decode requires PIL/libjpeg (absent in this container).
+
+    fake=True → deterministic pseudo-pixels seeded from sha256(payload): stable
+    across runs/executors, shaped (height, width, channels) uint8.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image decode requires an image codec library not present in this environment; "
+            "pass fake=True for the deterministic test decoder"
+        )
+    seed = int.from_bytes(hashlib.sha256(payload or b"").digest()[:8], "big")
+    rng = np.random.RandomState(seed % (2**32))
+    return rng.randint(0, 256, size=(height, width, channels), dtype=np.uint8)
+
+
+def image_features(media: DataFrame, *, grid: int = 4, fake_decode: bool = True) -> DataFrame:
+    """Decode → downsample to a grid×grid mean-intensity feature vector.
+
+    The Spark-side shape is the production one: mapInPandas over Arrow batches of
+    (media_id, payload, meta); only the innermost decode is stubbed.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, feats = [], []
+            for _, row in pdf.iterrows():
+                m = row["meta"]
+                w = int(m["width"] or 16)
+                h = int(m["height"] or 16)
+                c = int(m["channels"] or 3)
+                img = decode_image(row["payload"], w, h, c, fake=fake_decode).astype(np.float32)
+                gh, gw = max(1, h // grid), max(1, w // grid)
+                img = img[: gh * grid, : gw * grid]
+                pooled = img.reshape(grid, gh, grid, gw, c).mean(axis=(1, 3, 4))
+                feats.append((pooled / 255.0).ravel().astype(np.float32))
+                ids.append(row["media_id"])
+            yield pd.DataFrame({"media_id": ids, "feature": feats})
+
+    return media.filter(F.col("kind") == "image").select("media_id", "payload", "meta").mapInPandas(
+        run, FEATURE_SCHEMA
+    )
+
+
+def frame_sample(media: DataFrame, *, every_n: int = 10) -> DataFrame:
+    """Video → (media_id, frame_idx) rows for frames 0, n, 2n, … — pure JVM
+    (sequence+explode); the frame *decode* would attach via image_features."""
+    return (
+        media.filter(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.coalesce(F.col("meta.n_frames"), F.lit(1)) - 1, F.lit(0)),
+                    F.lit(every_n),
+                )
+            ).alias("frame_idx"),
+        )
+    )
+
+
+def synthesize_media(spark, n: int, *, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table for tests/benchmarks (no external data)."""
+    df = spark.range(n).select(
+        F.concat(F.lit("m-"), F.col("id").cast("string")).alias("media_id"),
+        F.when(F.col("id") % 3 == 0, F.lit("image"))
+        .when(F.col("id") % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+        .alias("kind"),
+        F.sha2(F.concat(F.lit(str(seed)), F.col("id").cast("string")), 256).cast("binary").alias("payload"),
+        F.struct(
+            F.lit(16).alias("width"),
+            F.lit(16).alias("height"),
+            F.lit(3).alias("channels"),
+            F.lit(16000).alias("sample_rate"),
+            (F.col("id") % 100 + 1).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+    return df

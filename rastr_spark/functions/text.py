@@ -1,0 +1,76 @@
+"""Text-analysis functions for large-scale training-data pipelines.
+
+All pure JVM column expressions (split/regexp/aggregate) — no Python in the hot
+path. Tokenization contract (shared with the DuckDB oracles in __spark_entry__):
+tokens = lowercase, split on single spaces, empty tokens dropped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"]
+
+
+def tokens(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), " "), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def distinct_token_count(text: Column) -> Column:
+    return F.size(F.array_distinct(tokens(text)))
+
+
+def stopword_ratio(text: Column) -> Column:
+    toks = tokens(text)
+    stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
+    return stop.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def avg_token_len(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+    return total.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic [0,1] quality heuristic: length band + stopword presence +
+    token-length sanity. A training-data filter, not a model."""
+    n = token_count(text)
+    length_ok = F.when((n >= 10) & (n <= 100000), F.lit(0.4)).otherwise(F.lit(0.0))
+    stop_ok = F.when(stopword_ratio(text) >= 0.05, F.lit(0.3)).otherwise(F.lit(0.0))
+    avg = avg_token_len(text)
+    len_ok = F.when((avg >= 2.0) & (avg <= 12.0), F.lit(0.3)).otherwise(F.lit(0.0))
+    return F.round(length_ok + stop_ok + len_ok, 2)
+
+
+def lang_id(text: Column) -> Column:
+    """n-gram-free heuristic language ID: English-stopword hit ratio ≥ 5% → 'en',
+    any non-ASCII → 'other', else 'unk'. Deterministic + SQL-portable."""
+    non_ascii = F.length(F.regexp_replace(text, "[\\x00-\\x7F]", "")) > 0
+    return (
+        F.when(non_ascii, F.lit("other"))
+        .when(stopword_ratio(text) >= 0.05, F.lit("en"))
+        .otherwise(F.lit("unk"))
+    )
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Distinct word n-grams joined by single spaces (shingles for dedup)."""
+    toks = tokens(text)
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )
+    return F.when(cnt >= n, F.array_distinct(grams)).otherwise(F.array().cast("array<string>"))
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Order-sensitive document fingerprint: xxhash64 rolling over the token stream
+    (content-defined identity for exact/near-exact dedup bookkeeping)."""
+    return F.xxhash64(F.concat_ws(" ", tokens(text)))

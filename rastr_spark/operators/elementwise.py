@@ -78,7 +78,9 @@ def _binary(
                 ]
             )
 
-        values = _k(F.col("values"), F.col("values_b"))
+        from ..tiles import denull
+
+        values = denull(_k(F.col("values"), F.col("values_b")))
     df = joined.select(
         F.col("a.raster_id").alias("raster_id"),
         "tile_row",
@@ -281,12 +283,14 @@ def taper_border(rf: RasterFrame, width: float, *, limit: float = 0.0) -> Raster
             out.append(new.ravel().astype(np.float64))
         return pd.Series(out)
 
+    from ..tiles import denull
+
     df = rf.df.select(
         "raster_id",
         "tile_row",
         "tile_col",
         "cell_id",
-        _k(F.col("values"), F.col("tile_row"), F.col("tile_col")).alias("values"),
+        denull(_k(F.col("values"), F.col("tile_row"), F.col("tile_col"))).alias("values"),
     )
     return RasterFrame(df, meta, rf.raster_id)
 

@@ -34,7 +34,7 @@ from pyspark.sql import types as T
 
 from ..geometry import Geometry, points_in_geometry
 from ..meta import RasterMeta
-from ..tiles import RasterFrame, tile_dims_cols
+from ..tiles import RasterFrame, denull, tile_dims_cols
 
 _ARR = T.ArrayType(T.DoubleType())
 
@@ -115,7 +115,7 @@ def clip(rf: RasterFrame, polygon: Geometry, *, strategy: str = "centres") -> Ra
         "tile_row",
         "tile_col",
         "cell_id",
-        _mask_k(F.col("values"), F.col("tile_row"), F.col("tile_col")).alias("values"),
+        denull(_mask_k(F.col("values"), F.col("tile_row"), F.col("tile_col"))).alias("values"),
     )
     miss = rf.df.filter(~overlaps).select(
         "raster_id",
@@ -168,7 +168,7 @@ def replace_polygon(rf: RasterFrame, polygon, value: float | None = None) -> Ras
         "tile_row",
         "tile_col",
         "cell_id",
-        _replace_k(F.col("values"), F.col("tile_row"), F.col("tile_col")).alias("values"),
+        denull(_replace_k(F.col("values"), F.col("tile_row"), F.col("tile_col"))).alias("values"),
     )
     miss = rf.df.filter(~overlaps)
     return RasterFrame(hit.unionByName(miss), meta, rf.raster_id)
@@ -385,9 +385,11 @@ def knn_join(
             "_qy",
             "_px",
             "_py",
-            F.sqrt(F.pow(F.col("_px") - F.col("_qx"), 2) + F.pow(F.col("_py") - F.col("_qy"), 2)).alias(
-                "distance"
-            ),
+            # plain multiplication (not pow): bit-identical across engines for the oracle
+            F.sqrt(
+                (F.col("_px") - F.col("_qx")) * (F.col("_px") - F.col("_qx"))
+                + (F.col("_py") - F.col("_qy")) * (F.col("_py") - F.col("_qy"))
+            ).alias("distance"),
         )
         w = Window.partitionBy("_qid").orderBy("distance", "_px", "_py")
         topk = cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

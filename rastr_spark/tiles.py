@@ -50,6 +50,18 @@ CELL_SCHEMA = T.StructType(
 )
 
 
+def denull(values: Column) -> Column:
+    """NULL→NaN inside a values array.
+
+    Spark's Arrow serializer converts NaN to SQL NULL when a pandas UDF returns
+    float arrays (pandas from_pandas semantics). The engine's contract is the
+    reference's: NaN is the nodata sentinel INSIDE arrays, SQL NULL never appears
+    (SURVEY.md §1.2) — so every kernel-output boundary re-normalizes with this
+    cheap JVM transform (stays in whole-stage codegen).
+    """
+    return F.transform(values, lambda v: F.coalesce(v, F.lit(float("nan"))))
+
+
 def tile_spans(meta: RasterMeta) -> Iterator[tuple[int, int, int, int, int, int]]:
     """Yield (tile_row, tile_col, r0, c0, th, tw) covering the grid."""
     Tsz = meta.tile_size
@@ -226,6 +238,7 @@ class RasterFrame:
             )
 
         tiles = keyed.groupBy("tile_row", "tile_col").applyInPandas(assemble, TILE_SCHEMA)
+        tiles = tiles.withColumn("values", denull(F.col("values")))
         rf = RasterFrame(tiles, meta, raster_id)
         if dense:
             base = RasterFrame.full(tiles.sparkSession, meta, np.nan, raster_id=raster_id)
@@ -304,7 +317,7 @@ class RasterFrame:
         def _k(s: pd.Series) -> pd.Series:
             return s.map(lambda v: np_fn(np.asarray(v, dtype=dtype)).astype(np.float64))
 
-        return self.with_values(_k(F.col("values")))
+        return self.with_values(denull(_k(F.col("values"))))
 
     def check_aligned(self, other: "RasterFrame") -> None:
         """Binary-op precondition (reference: src/rastr/raster.py:191-202):

@@ -1,0 +1,85 @@
+"""Two-parallelism scaling evidence for the BASELINE criterion (north rule:
+"N and 4N executors with throughput scaling efficiency ≥ 0.8"; sandbox protocol:
+same job, same input, local[8] vs local[32]).
+
+Runs the flagship query (docs → media_ref→tiles → PIP join vs broadcast polygons →
+zonal stats per (zone, doc)) in TWO FRESH JVMs (subprocesses) so each run gets a
+clean scheduler/thread pool, and reports throughput at both + efficiency.
+
+Usage: python scripts/scaling_run.py [n_docs]   (default 200000)
+Writes results to stdout + BENCH_SCALING.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parents[1]
+
+CHILD = r"""
+import json, sys, time
+sys.path.insert(0, {root!r})
+from pyspark.sql import SparkSession
+from bench import BENCH_META, BENCH_WORLD, bench_zones, build_bench_raster
+from rastr_spark.plans.flagship import doc_zonal_stats
+from rastr_spark.sources.documents import generate_documents
+from rastr_spark.tiles import RasterFrame
+
+cpus = int(sys.argv[1]); n_docs = int(sys.argv[2])
+spark = (SparkSession.builder.master(f"local[{{cpus}}]")
+    .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 16)))
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.driver.memory", "24g")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+rf = build_bench_raster(spark)
+rf = RasterFrame(rf.df.cache(), rf.meta, rf.raster_id)
+rf.df.count()
+docs = generate_documents(spark, n_docs, seed=42, n_tile_rows=BENCH_META.n_tile_rows,
+    n_tile_cols=BENCH_META.n_tile_cols, raster_id="bench", world_size=BENCH_WORLD).cache()
+n = docs.count()
+# warmup (JIT/codegen), then measured run
+doc_zonal_stats(docs, rf, bench_zones(), salt_threshold=20000).count()
+t0 = time.time()
+doc_zonal_stats(docs, rf, bench_zones(), salt_threshold=20000).count()
+wall = time.time() - t0
+print(json.dumps({{"cpus": cpus, "n_docs": n, "wall_sec": wall, "docs_per_sec": n / wall}}))
+spark.stop()
+"""
+
+
+def run(cpus: int, n_docs: int) -> dict:
+    code = CHILD.format(root=str(ROOT))
+    out = subprocess.run(
+        [sys.executable, "-c", code, str(cpus), str(n_docs)],
+        capture_output=True, text=True, cwd=str(ROOT), timeout=1800,
+    )
+    if out.returncode != 0:
+        raise RuntimeError(f"child failed (cpus={cpus}):\n{out.stderr[-3000:]}")
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main():
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 200000
+    r8 = run(8, n_docs)
+    r32 = run(32, n_docs)
+    eff = (r32["docs_per_sec"] / r8["docs_per_sec"]) / 4.0
+    result = {
+        "n_docs": n_docs,
+        "runs": [r8, r32],
+        "scaling_efficiency": round(eff, 4),
+        "criterion": "eff = (throughput@32 / throughput@8) / 4 >= 0.8",
+        "pass": eff >= 0.8,
+    }
+    print(json.dumps(result, indent=1))
+    (ROOT / "BENCH_SCALING.json").write_text(json.dumps(result, indent=1))
+
+
+if __name__ == "__main__":
+    main()

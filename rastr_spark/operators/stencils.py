@@ -1,0 +1,426 @@
+"""Stencil (neighbourhood) operators via halo-exchange joins: blur, sobel, dilate,
+extrapolate (nearest-neighbour NaN fill).
+
+Spark has no stencil concept; the engine builds one: each tile needs a ring of
+``h`` boundary cells from its ≤8 neighbours, so ``with_halo`` turns the tile table
+into (target_tile ← neighbour strips) messages — **strips, not whole tiles**: the
+shuffle carries O(h·T) cells per neighbour edge instead of O(T²). Strip slicing is
+pure JVM (sequence/slice/flatten higher-order functions); only the per-tile padded
+assembly + numpy kernel crosses the Arrow boundary.
+
+Numerics are replicated from the reference's scipy/skimage backends (none of which
+exist here):
+
+- blur   ≡ scipy.ndimage.gaussian_filter(sigma, truncate=4.0, mode='reflect')
+           (reference src/rastr/raster.py:1185-1221)
+- sobel  ≡ skimage.filters.sobel: sqrt(2·(h²+v²)) with smooth [1,2,1]/4 ⊗ deriv
+           [1,0,-1]/2 kernels, reflect border, / cell_size
+           (reference src/rastr/raster.py:1164-1183; golden test_raster.py:1878-1906)
+- dilate ≡ skimage.morphology.dilation with disk(ceil(r/cell)) footprint, padded
+           with (global min − 1), NaN filled then restored
+           (reference src/rastr/raster.py:1223-1288)
+- extrapolate ≡ scipy NearestNDInterpolator on array indices, Euclidean distance,
+           ties → lowest (row, col) (reference src/rastr/arr/fill.py:11-32).
+           Influence radius is unbounded → iterative halo-doubling rounds; a cell
+           is filled only when its nearest donor is *proven* within the current
+           halo (min distance ≤ h ⇒ no unseen donor can be nearer, and every
+           tied donor is inside the window) — exact at any round count.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..meta import RasterMeta
+from ..tiles import RasterFrame, denull, tile_dims_cols
+
+HALO_MSG_SCHEMA = T.StructType(
+    [
+        T.StructField("tile_row", T.IntegerType(), False),
+        T.StructField("tile_col", T.IntegerType(), False),
+        T.StructField("gr0", T.IntegerType(), False),
+        T.StructField("gc0", T.IntegerType(), False),
+        T.StructField("n_rows", T.IntegerType(), False),
+        T.StructField("n_cols", T.IntegerType(), False),
+        T.StructField("strip", T.ArrayType(T.DoubleType()), False),
+    ]
+)
+
+
+def halo_messages(rf: RasterFrame, h: int) -> DataFrame:
+    """Strip messages: every tile sends each target the band of its own array that
+    falls inside the target's (th+2h)×(tw+2h) halo window.
+
+    Generalized to halos larger than a tile: the offset ring spans ±⌈h/T⌉ tiles,
+    so a blur with σ·4 > T still works (inner-ring offsets ship whole tiles,
+    boundary offsets ship strips). All slicing is JVM columnar; message =
+    (target tile, global strip origin, dims, row-major strip values).
+
+    Per offset (dr, dc), the source-local row slice is the intersection of the
+    source tile [0, th) with the target window [dr·T − h, dr·T + tth + h):
+    lo = max(0, dr·T − h) is a constant, hi = min(th, dr·T + tth + h) is a column.
+    """
+    meta = rf.meta
+    Tsz = meta.tile_size
+    ntr, ntc = meta.n_tile_rows, meta.n_tile_cols
+    R = max(1, math.ceil(h / Tsz))
+    th, tw = tile_dims_cols(meta)
+    df = rf.df.select("tile_row", "tile_col", th.alias("th"), tw.alias("tw"), "values")
+
+    msgs = []
+    for dr in range(-R, R + 1):
+        for dc in range(-R, R + 1):
+            ttr = F.col("tile_row") + dr
+            ttc = F.col("tile_col") + dc
+            tth = F.least(F.lit(Tsz), F.lit(meta.height) - ttr * Tsz)
+            ttw = F.least(F.lit(Tsz), F.lit(meta.width) - ttc * Tsz)
+            r_lo = F.lit(max(0, dr * Tsz - h))
+            r_hi = F.least(F.col("th"), F.lit(dr * Tsz + h) + tth)
+            c_lo = F.lit(max(0, dc * Tsz - h))
+            c_hi = F.least(F.col("tw"), F.lit(dc * Tsz + h) + ttw)
+            n_rows = r_hi - r_lo
+            n_cols = c_hi - c_lo
+            tw_col = F.col("tw")
+
+            def _strip(r_lo=r_lo, r_hi=r_hi, c_lo=c_lo, n_cols=n_cols, tw_col=tw_col):
+                return F.flatten(
+                    F.transform(
+                        F.sequence(r_lo, r_hi - 1),
+                        lambda r: F.slice(F.col("values"), r * tw_col + c_lo + 1, n_cols),
+                    )
+                )
+
+            msgs.append(
+                F.struct(
+                    ttr.cast("int").alias("tile_row"),
+                    ttc.cast("int").alias("tile_col"),
+                    (F.col("tile_row") * Tsz + r_lo).cast("int").alias("gr0"),
+                    (F.col("tile_col") * Tsz + c_lo).cast("int").alias("gc0"),
+                    n_rows.cast("int").alias("n_rows"),
+                    n_cols.cast("int").alias("n_cols"),
+                    F.when(
+                        (n_rows > 0) & (n_cols > 0) & (ttr >= 0) & (ttr < ntr) & (ttc >= 0) & (ttc < ntc),
+                        _strip(),
+                    )
+                    .otherwise(F.lit(None))
+                    .alias("strip"),
+                )
+            )
+    exploded = df.select(F.explode(F.array(*msgs)).alias("m")).select("m.*").filter(
+        F.col("strip").isNotNull()
+    )
+    return exploded
+
+
+def stencil_apply(
+    rf: RasterFrame,
+    h: int,
+    kernel: Callable[[np.ndarray, np.ndarray, tuple], np.ndarray],
+    *,
+    out_meta: RasterMeta | None = None,
+) -> RasterFrame:
+    """Run ``kernel(padded, valid_mask, (r0, c0, th, tw, h))`` per tile.
+
+    ``padded`` is the (th+2h)×(tw+2h) window in float64 with NaN where no data was
+    received (outside-grid or missing tiles); ``valid_mask`` marks cells inside the
+    grid. The kernel returns the (th, tw) core. Halo must fit a tile (h ≤ T).
+    """
+    meta = rf.meta
+    Tsz = meta.tile_size
+    H, W = meta.height, meta.width
+    raster_id = rf.raster_id  # primitive capture — closures must not capture rf (DataFrame)
+    msgs = halo_messages(rf, h)
+
+    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        tr, tc = int(key[0]), int(key[1])
+        r0, c0 = tr * Tsz, tc * Tsz
+        th_, tw_ = min(Tsz, H - r0), min(Tsz, W - c0)
+        padded = np.full((th_ + 2 * h, tw_ + 2 * h), np.nan)
+        for _, m in pdf.iterrows():
+            rr = int(m["gr0"]) - (r0 - h)
+            cc = int(m["gc0"]) - (c0 - h)
+            frag = np.asarray(m["strip"], dtype=np.float64).reshape(int(m["n_rows"]), int(m["n_cols"]))
+            padded[rr : rr + frag.shape[0], cc : cc + frag.shape[1]] = frag
+        rows = np.arange(r0 - h, r0 + th_ + h)[:, None]
+        cols = np.arange(c0 - h, c0 + tw_ + h)[None, :]
+        valid = (rows >= 0) & (rows < H) & (cols >= 0) & (cols < W)
+        core = kernel(padded, np.broadcast_to(valid, padded.shape), (r0, c0, th_, tw_, h))
+        from ..grid import morton_encode
+
+        return pd.DataFrame(
+            {
+                "raster_id": [raster_id],
+                "tile_row": [tr],
+                "tile_col": [tc],
+                "cell_id": [int(morton_encode(np.array([tr]), np.array([tc]))[0])],
+                "values": [core.astype(np.float64).ravel()],
+            }
+        )
+
+    from ..tiles import TILE_SCHEMA
+
+    out = msgs.groupBy("tile_row", "tile_col").applyInPandas(assemble, TILE_SCHEMA)
+    out = out.withColumn("values", denull(F.col("values")))
+    return RasterFrame(out, out_meta or meta, rf.raster_id)
+
+
+def _symmetric_fill(padded: np.ndarray, valid: np.ndarray) -> np.ndarray:
+    """Replace outside-grid halo cells with their half-sample-symmetric mirror.
+
+    Works for halos up to tile size: mirrors across each grid edge in turn
+    (row mirror, then col mirror — matches scipy's separable 'reflect')."""
+    a = padded.copy()
+    n_r, n_c = a.shape
+    # find grid-valid row/col bands inside the padded window
+    vrows = np.where(valid.any(axis=1))[0]
+    vcols = np.where(valid.any(axis=0))[0]
+    if len(vrows) == 0:
+        return a
+    rlo, rhi = vrows[0], vrows[-1]
+    clo, chi = vcols[0], vcols[-1]
+    for i in range(rlo - 1, -1, -1):
+        a[i, :] = a[2 * rlo - 1 - i, :]
+    for i in range(rhi + 1, n_r):
+        a[i, :] = a[2 * rhi + 1 - i, :]
+    for j in range(clo - 1, -1, -1):
+        a[:, j] = a[:, 2 * clo - 1 - j]
+    for j in range(chi + 1, n_c):
+        a[:, j] = a[:, 2 * chi + 1 - j]
+    return a
+
+
+def _gaussian_weights(sigma: float, radius: int) -> np.ndarray:
+    """scipy.ndimage gaussian_filter1d weights (truncate·sigma radius, normalized)."""
+    x = np.arange(-radius, radius + 1)
+    w = np.exp(-0.5 * (x / sigma) ** 2)
+    return w / w.sum()
+
+
+def _corr1d(a: np.ndarray, w: np.ndarray, axis: int) -> np.ndarray:
+    """Vectorized 1-D correlation via shifted adds. np.roll wrap-around only
+    contaminates cells within radius of the PADDED edge, which the caller crops —
+    core cells only ever see true halo data."""
+    r = len(w) // 2
+    out = np.zeros_like(a)
+    for k, wk in enumerate(w):
+        out += wk * np.roll(a, r - k, axis=axis)
+    return out
+
+
+def blur(rf: RasterFrame, sigma: float, *, preserve_nan: bool = True) -> RasterFrame:
+    """Gaussian blur, σ in world units (reference src/rastr/raster.py:1185-1221).
+
+    preserve_nan: NN-extrapolate → blur → restore NaN mask (exactly the reference
+    composition). The extrapolate pre-pass is skipped JVM-cheaply when the raster
+    has no NaN.
+    """
+    cell_sigma = sigma / rf.meta.cell_size
+    radius = int(4.0 * cell_sigma + 0.5)  # scipy truncate=4.0 default
+    dtype = np.dtype(rf.meta.dtype)
+
+    src = rf
+    nan_mask_rf = None
+    if preserve_nan:
+        has_nan = (
+            rf.df.select(
+                F.max(F.exists("values", lambda v: F.isnan(v)).cast("int")).alias("x")
+            ).collect()[0]["x"]
+            or 0
+        )
+        if has_nan:
+            nan_mask_rf = rf
+            src = extrapolate(rf)
+
+    if radius == 0:
+        out = src
+    else:
+        def kern(padded, valid, info):
+            r0, c0, th, tw, h = info
+            a = _symmetric_fill(padded, valid).astype(dtype)
+            w = _gaussian_weights(cell_sigma, radius).astype(dtype)
+            tmp = _corr1d(a, w, axis=0)
+            tmp = _corr1d(tmp, w, axis=1)
+            return tmp[h : h + th, h : h + tw]
+
+        out = stencil_apply(src, radius, kern)
+
+    if nan_mask_rf is not None:
+        # restore NaN mask: aligned zip keeping NaN where original was NaN
+        from .elementwise import _binary
+
+        out = _binary(
+            nan_mask_rf,
+            out,
+            lambda orig, b: F.when(F.isnan(orig), F.lit(float("nan"))).otherwise(b),
+            lambda orig, b: np.where(np.isnan(orig), np.nan, b),
+        )
+    return out
+
+
+def sobel(rf: RasterFrame) -> RasterFrame:
+    """skimage-compatible Sobel gradient magnitude / cell_size
+    (reference src/rastr/raster.py:1164-1183)."""
+    cs = rf.meta.cell_size
+    dtype = np.dtype(rf.meta.dtype)
+
+    def kern(padded, valid, info):
+        r0, c0, th, tw, h = info
+        a = _symmetric_fill(padded, valid).astype(np.float64)
+        smooth = np.array([1.0, 2.0, 1.0]) / 4.0
+        deriv = np.array([1.0, 0.0, -1.0]) / 2.0
+
+        v = _corr1d(_corr1d(a, deriv, axis=0), smooth, axis=1)  # vertical derivative
+        hgrad = _corr1d(_corr1d(a, smooth, axis=0), deriv, axis=1)
+        mag = np.sqrt(2.0 * (v * v + hgrad * hgrad)) / cs
+        return mag[h : h + th, h : h + tw].astype(dtype)
+
+    return stencil_apply(rf, 1, kern)
+
+
+def _disk(radius: int) -> np.ndarray:
+    """skimage.morphology.disk: boolean disk, |(i,j)|₂ ≤ radius on integer grid."""
+    y, x = np.mgrid[-radius : radius + 1, -radius : radius + 1]
+    return (x * x + y * y) <= radius * radius
+
+
+def dilate(rf: RasterFrame, radius: float) -> RasterFrame:
+    """Grey dilation with a disk footprint (reference src/rastr/raster.py:1223-1288):
+    pad with (global min − 1) beyond the grid, NaN→fill during the max-filter,
+    NaN mask restored after. All-NaN raster short-circuits to a copy."""
+    from .aggregates import rf_stats
+
+    cell_radius = int(math.ceil(radius / rf.meta.cell_size))
+    stats = rf_stats(rf)
+    if stats["count"] == 0:
+        return RasterFrame(rf.df, rf.meta, rf.raster_id)
+    fill_val = stats["min"] - 1.0
+    dtype = np.dtype(rf.meta.dtype)
+    foot = _disk(cell_radius)
+
+    def kern(padded, valid, info):
+        r0, c0, th, tw, h = info
+        a = padded.copy()
+        a[~valid] = fill_val  # outside-grid = reference's pad(min-1)
+        a[np.isnan(a)] = fill_val
+        a = a.astype(dtype)
+        # max filter via shift-stack over the disk footprint
+        out = np.full((th, tw), -np.inf, dtype=dtype)
+        for dy in range(-h, h + 1):
+            for dx in range(-h, h + 1):
+                if not foot[dy + h, dx + h]:
+                    continue
+                out = np.maximum(out, a[h + dy : h + dy + th, h + dx : h + dx + tw])
+        return out
+
+    out = stencil_apply(rf, cell_radius, kern)
+    # restore NaN mask from the original
+    from .elementwise import _binary
+
+    return _binary(
+        rf,
+        out,
+        lambda orig, b: F.when(F.isnan(orig), F.lit(float("nan"))).otherwise(b),
+        lambda orig, b: np.where(np.isnan(orig), np.nan, b),
+    )
+
+
+def extrapolate(rf: RasterFrame, method: str = "nearest") -> RasterFrame:
+    """NaN → nearest non-NaN by Euclidean index distance, ties → lowest (row, col)
+    (reference src/rastr/raster.py:1290-1309 + arr/fill.py:11-32).
+
+    Iterative halo-doubling: round k proves/fills all cells whose nearest donor is
+    within h_k; h doubles until no NaN remains (or the grid maximum is reached).
+    All-NaN rasters return unchanged. Convergence: ceil(max NaN-run / T) rounds.
+    """
+    if method not in ("nearest",):
+        raise NotImplementedError(f"Unsupported extrapolation method: {method}")
+    meta = rf.meta
+
+    def make_kernel(h):
+        def kern(padded, valid, info):
+            r0, c0, th, tw, h_ = info
+            core = padded[h_ : h_ + th, h_ : h_ + tw]
+            out = core.copy()
+            nan_mask = np.isnan(core)
+            if not nan_mask.any() or np.isnan(padded).all():
+                return out
+            # offsets sorted by (d², dy, dx): first non-NaN donor in this order IS
+            # the min-distance donor with lowest-(row,col) tie-break — because for
+            # tied d², smaller dy ⇒ smaller donor row (dy = donor_row - cell_row),
+            # then smaller dx ⇒ smaller donor col. Only offsets with d ≤ h qualify
+            # (a donor outside the window is at Chebyshev > h ⇒ Euclid > h, so a
+            # hit within h is globally optimal and every tied donor is in-window).
+            if h_ <= 32:
+                # small radius: offset-ordered sweep, fully vectorized per offset
+                offs = [
+                    (dy * dy + dx * dx, dy, dx)
+                    for dy in range(-h_, h_ + 1)
+                    for dx in range(-h_, h_ + 1)
+                    if 0 < dy * dy + dx * dx <= h_ * h_
+                ]
+                offs.sort()
+                pend = nan_mask.copy()
+                for _, dy, dx in offs:
+                    if not pend.any():
+                        break
+                    cand = padded[h_ + dy : h_ + dy + th, h_ + dx : h_ + dx + tw]
+                    take = pend & ~np.isnan(cand)
+                    out[take] = cand[take]
+                    pend &= ~take
+                return out
+            # large radius (sparse data): per-NaN-cell vectorized donor scan with
+            # the same (distance, row, col) ordering
+            donor_r, donor_c = np.nonzero(~np.isnan(padded))
+            dvals = padded[donor_r, donor_c]
+            nan_r, nan_c = np.nonzero(nan_mask)
+            for i in range(len(nan_r)):
+                pr, pc = nan_r[i] + h_, nan_c[i] + h_
+                d2 = (donor_r - pr) ** 2 + (donor_c - pc) ** 2
+                best = d2.min()
+                if best <= h_ * h_:
+                    cand = np.nonzero(d2 == best)[0]
+                    order = np.lexsort((donor_c[cand], donor_r[cand]))
+                    out[nan_r[i], nan_c[i]] = dvals[cand[order[0]]]
+            return out
+
+        return kern
+
+    from .aggregates import rf_stats
+
+    if rf_stats(rf)["count"] == 0:
+        return RasterFrame(rf.df, rf.meta, rf.raster_id)
+
+    # Rounds always fill FROM THE ORIGINAL raster (scipy NearestNDInterpolator uses
+    # only original donors — chained propagation would drift); each round retries
+    # with a doubled proof radius. halo_messages supports h > T (multi-ring), so
+    # the final radius covers the whole grid → exact for any sparsity. Typical
+    # data (NaN runs ≪ T) resolves in round 1 with the cheap h=8 window.
+    h = 8
+    max_h = max(meta.height, meta.width)
+    out = None
+    for _ in range(64):  # 2^64 cells ≫ any grid; loop exits via remaining == 0
+        out = stencil_apply(rf, h, make_kernel(h))
+        out = RasterFrame(out.df.cache(), out.meta, out.raster_id)
+        remaining = (
+            out.df.select(F.max(F.exists("values", lambda v: F.isnan(v)).cast("int")).alias("x"))
+            .collect()[0]["x"]
+            or 0
+        )
+        if not remaining or h >= max_h:
+            break
+        h = min(h * 2, max_h)
+    return out
+
+
+# -- attach ------------------------------------------------------------------
+RasterFrame.blur = lambda self, sigma, preserve_nan=True: blur(self, sigma, preserve_nan=preserve_nan)
+RasterFrame.sobel = lambda self: sobel(self)
+RasterFrame.dilate = lambda self, radius: dilate(self, radius)
+RasterFrame.extrapolate = lambda self, method="nearest": extrapolate(self, method)

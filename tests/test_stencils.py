@@ -1,0 +1,262 @@
+"""Stencil operators: halo exchange, blur, sobel, dilate, extrapolate, resample.
+
+Numerics verified against the reference's recorded goldens (skimage sobel golden
+test_raster.py:1878-1906) and independently-computed scipy-equivalent results on
+tiny grids (scipy itself is absent; weights/modes re-derived per stencils.py).
+"""
+
+import numpy as np
+import pytest
+
+import rastr_spark  # noqa: F401
+from rastr_spark.meta import Affine, RasterMeta
+from rastr_spark.operators import resample as _resample  # attaches .resample
+from rastr_spark.operators import stencils  # attaches stencil ops
+from rastr_spark.operators.stencils import _corr1d, _disk, _gaussian_weights, _symmetric_fill
+from rastr_spark.tiles import RasterFrame
+
+
+def make_rf(spark, arr, tile_size=2, cell=1.0, dtype=None):
+    arr = np.asarray(arr, dtype=dtype or np.float64)
+    meta = RasterMeta(
+        cell, "EPSG:2193", Affine(cell, 0, 0, 0, -cell, arr.shape[0] * cell),
+        arr.shape[0], arr.shape[1], tile_size=tile_size, dtype=arr.dtype.name,
+    )
+    return RasterFrame.from_numpy(spark, arr, meta)
+
+
+def ref_gaussian(arr, sigma):
+    """Driver-side reference: scipy.ndimage.gaussian_filter(mode='reflect') re-derived."""
+    radius = int(4.0 * sigma + 0.5)
+    w = _gaussian_weights(sigma, radius)
+    a = np.pad(arr, radius, mode="symmetric")
+    t = _corr1d(a, w, axis=0)
+    t = _corr1d(t, w, axis=1)
+    return t[radius:-radius, radius:-radius]
+
+
+class TestSobel:
+    def test_reference_golden(self, spark):
+        # exact mirror of reference test_raster.py:1878-1906
+        arr = np.arange(1.0, 10.0).reshape(3, 3)
+        rf = make_rf(spark, arr, tile_size=2, cell=2.0)
+        out = rf.sobel().to_numpy()
+        expected = (
+            np.array(
+                [
+                    [2.23607, 2.54951, 2.23607],
+                    [4.30116, 4.47214, 4.30116],
+                    [2.23607, 2.54951, 2.23607],
+                ]
+            )
+            / 2.0
+        )
+        np.testing.assert_almost_equal(out, expected, decimal=5)
+
+    def test_constant_raster_zero_gradient(self, spark):
+        rf = make_rf(spark, np.full((4, 4), 7.0), tile_size=2)
+        np.testing.assert_allclose(rf.sobel().to_numpy(), 0.0)
+
+    def test_tile_boundary_invisible(self, spark):
+        """Stencil across tile boundaries must equal the single-tile result."""
+        rng = np.random.RandomState(3)
+        arr = rng.rand(6, 6)
+        small_tiles = make_rf(spark, arr, tile_size=2).sobel().to_numpy()
+        one_tile = make_rf(spark, arr, tile_size=6).sobel().to_numpy()
+        np.testing.assert_allclose(small_tiles, one_tile, rtol=1e-12)
+
+
+class TestBlur:
+    def test_matches_reference_kernel(self, spark):
+        rng = np.random.RandomState(5)
+        arr = rng.rand(6, 6) * 10
+        rf = make_rf(spark, arr, tile_size=3)
+        out = rf.blur(1.0).to_numpy()
+        np.testing.assert_allclose(out, ref_gaussian(arr, 1.0), rtol=1e-10)
+
+    def test_mean_approx_preserved_variance_reduced(self, spark):
+        rng = np.random.RandomState(7)
+        arr = rng.rand(8, 8)
+        rf = make_rf(spark, arr, tile_size=4)
+        out = rf.blur(1.0).to_numpy()
+        assert out.std() < arr.std()
+        assert abs(out.mean() - arr.mean()) < 0.05
+
+    def test_sigma_in_world_units(self, spark):
+        # cell 2.0, sigma 2.0 → cell_sigma 1.0 ≡ cell 1.0, sigma 1.0
+        rng = np.random.RandomState(9)
+        arr = rng.rand(6, 6)
+        out_a = make_rf(spark, arr, tile_size=3, cell=2.0).blur(2.0).to_numpy()
+        out_b = make_rf(spark, arr, tile_size=3, cell=1.0).blur(1.0).to_numpy()
+        np.testing.assert_allclose(out_a, out_b, rtol=1e-12)
+
+    def test_preserve_nan_mask(self, spark):
+        # mirror of reference test_raster.py:1943-1967
+        arr = np.full((5, 5), np.nan)
+        arr[1:4, 1:4] = np.arange(1.0, 10.0).reshape(3, 3)
+        rf = make_rf(spark, arr, tile_size=3)
+        out = rf.blur(0.5, preserve_nan=True).to_numpy()
+        np.testing.assert_array_equal(np.isnan(out), np.isnan(arr))
+        assert np.isfinite(out[2, 2])
+
+    def test_no_nan_plain_blur(self, spark):
+        arr = np.arange(16.0).reshape(4, 4)
+        out = make_rf(spark, arr, tile_size=2).blur(1.0, preserve_nan=True).to_numpy()
+        np.testing.assert_allclose(out, ref_gaussian(arr, 1.0), rtol=1e-10)
+
+    def test_tile_boundary_invisible(self, spark):
+        rng = np.random.RandomState(11)
+        arr = rng.rand(8, 8)
+        a = make_rf(spark, arr, tile_size=4).blur(0.8).to_numpy()
+        b = make_rf(spark, arr, tile_size=8).blur(0.8).to_numpy()
+        np.testing.assert_allclose(a, b, rtol=1e-12)
+
+
+class TestDilate:
+    def test_simple_max_spread(self, spark):
+        arr = np.zeros((5, 5))
+        arr[2, 2] = 9.0
+        out = make_rf(spark, arr, tile_size=3).dilate(1.0).to_numpy()
+        # disk(1) = plus-shape: centre + 4-neighbours get 9
+        expected = np.zeros((5, 5))
+        expected[2, 2] = 9.0
+        expected[1, 2] = expected[3, 2] = expected[2, 1] = expected[2, 3] = 9.0
+        np.testing.assert_array_equal(out, expected)
+
+    def test_radius_ceil(self, spark):
+        # radius 0.5 at cell 1.0 → ceil to 1 cell
+        arr = np.zeros((3, 3))
+        arr[1, 1] = 5.0
+        out = make_rf(spark, arr, tile_size=3).dilate(0.5).to_numpy()
+        assert out[0, 1] == 5.0
+
+    def test_nan_preserved_and_not_spread(self, spark):
+        # hypothesis contract (reference test_raster.py:2126-2209): NaN mask preserved
+        arr = np.array([[np.nan, 1.0, 2.0], [3.0, np.nan, 4.0], [5.0, 6.0, 7.0]])
+        out = make_rf(spark, arr, tile_size=2).dilate(1.0).to_numpy()
+        np.testing.assert_array_equal(np.isnan(out), np.isnan(arr))
+        assert out[2, 1] >= 6.0  # monotone non-decreasing
+        valid = ~np.isnan(arr)
+        assert np.nansum(out) >= np.nansum(arr)
+        assert np.nanmin(out) >= np.nanmin(arr)
+
+    def test_all_nan_short_circuit(self, spark):
+        arr = np.full((2, 2), np.nan)
+        out = make_rf(spark, arr, tile_size=2).dilate(1.0).to_numpy()
+        assert np.isnan(out).all()
+
+    def test_edge_no_wraparound(self, spark):
+        # padding with min-1 means border cells only see real data
+        arr = np.array([[9.0, 0.0], [0.0, 0.0]])
+        out = make_rf(spark, arr, tile_size=2).dilate(1.0).to_numpy()
+        np.testing.assert_array_equal(out, [[9.0, 9.0], [9.0, 0.0]])
+
+    def test_tile_boundary_invisible(self, spark):
+        rng = np.random.RandomState(13)
+        arr = rng.rand(6, 6)
+        a = make_rf(spark, arr, tile_size=2).dilate(2.0).to_numpy()
+        b = make_rf(spark, arr, tile_size=6).dilate(2.0).to_numpy()
+        np.testing.assert_array_equal(a, b)
+
+
+class TestExtrapolate:
+    def test_fill_simple(self, spark):
+        arr = np.array([[1.0, np.nan], [np.nan, np.nan]])
+        out = make_rf(spark, arr, tile_size=2).extrapolate().to_numpy()
+        np.testing.assert_array_equal(out, [[1.0, 1.0], [1.0, 1.0]])
+
+    def test_nearest_semantics(self, spark):
+        arr = np.array([[1.0, np.nan, np.nan, 5.0]])
+        out = make_rf(spark, arr, tile_size=4).extrapolate().to_numpy()
+        # (0,1) nearest is (0,0)=1; (0,2) nearest is (0,3)=5
+        np.testing.assert_array_equal(out, [[1.0, 1.0, 5.0, 5.0]])
+
+    def test_tie_break_lowest_index(self, spark):
+        # cell (0,1) equidistant from (0,0)=1 and (0,2)=3 → lowest index wins → 1
+        arr = np.array([[1.0, np.nan, 3.0]])
+        out = make_rf(spark, arr, tile_size=3).extrapolate().to_numpy()
+        assert out[0, 1] == 1.0
+        # vertical tie: (1,0) between (0,0)=7 and (2,0)=9 → row 0 wins
+        arr2 = np.array([[7.0], [np.nan], [9.0]])
+        out2 = make_rf(spark, arr2, tile_size=3).extrapolate().to_numpy()
+        assert out2[1, 0] == 7.0
+
+    def test_euclidean_not_chebyshev(self, spark):
+        # donor at euclid sqrt(2) vs euclid 2: diagonal wins
+        arr = np.full((3, 3), np.nan)
+        arr[0, 0] = 4.0  # diagonal to (1,1): sqrt2
+        arr[1, 2] = 8.0  # lateral to (1, 0): 2.0... check cell (1,1): donors (0,0) d=sqrt2, (1,2) d=1
+        out = make_rf(spark, arr, tile_size=3).extrapolate().to_numpy()
+        assert out[1, 1] == 8.0  # distance 1 beats sqrt(2)
+        assert out[0, 1] == 4.0  # d=1 from (0,0) beats d=sqrt2 from (1,2)
+
+    def test_all_nan_unchanged(self, spark):
+        arr = np.full((2, 2), np.nan)
+        out = make_rf(spark, arr, tile_size=2).extrapolate().to_numpy()
+        assert np.isnan(out).all()
+
+    def test_cross_tile_fill(self, spark):
+        # value must travel across tile boundaries (halo rounds)
+        arr = np.full((1, 8), np.nan)
+        arr[0, 0] = 42.0
+        out = make_rf(spark, arr, tile_size=2).extrapolate().to_numpy()
+        np.testing.assert_array_equal(out, np.full((1, 8), 42.0))
+
+    def test_bad_method(self, spark):
+        arr = np.ones((2, 2))
+        with pytest.raises(NotImplementedError):
+            make_rf(spark, arr, tile_size=2).extrapolate(method="linear")
+
+
+def ref_bilinear(arr, new_h, new_w):
+    H, W = arr.shape
+    sy = (np.arange(new_h) + 0.5) * H / new_h - 0.5
+    sx = (np.arange(new_w) + 0.5) * W / new_w - 0.5
+    y0 = np.clip(np.floor(sy), 0, H - 1).astype(int)
+    x0 = np.clip(np.floor(sx), 0, W - 1).astype(int)
+    y1 = np.clip(y0 + 1, 0, H - 1)
+    x1 = np.clip(x0 + 1, 0, W - 1)
+    wy = np.clip(sy - y0, 0, 1)[:, None]
+    wx = np.clip(sx - x0, 0, 1)[None, :]
+    return (
+        arr[np.ix_(y0, x0)] * (1 - wy) * (1 - wx)
+        + arr[np.ix_(y0, x1)] * (1 - wy) * wx
+        + arr[np.ix_(y1, x0)] * wy * (1 - wx)
+        + arr[np.ix_(y1, x1)] * wy * wx
+    )
+
+
+class TestResample:
+    def test_upsample_shape_and_transform(self, spark, base_raster):
+        out = base_raster.resample(5.0)
+        assert out.meta.cell_size == 5.0
+        assert out.meta.shape == (8, 8)
+        t = out.meta.transform
+        assert abs(abs(t.a) - 5.0) < 0.1 and abs(abs(t.e) - 5.0) < 0.1
+        assert (t.c, t.f) == (0.0, 100.0)  # top-left anchor preserved
+
+    def test_downsample_shape(self, spark, base_raster):
+        out = base_raster.resample(20.0)
+        assert out.meta.shape == (2, 2)
+
+    def test_values_match_reference_bilinear(self, spark, base_raster):
+        out = base_raster.resample(5.0)
+        expected = ref_bilinear(np.arange(1.0, 17.0).reshape(4, 4), 8, 8)
+        np.testing.assert_allclose(out.to_numpy(), expected, rtol=1e-12)
+
+    def test_identity_cell_size(self, spark, base_raster):
+        out = base_raster.resample(10.0)
+        np.testing.assert_allclose(out.to_numpy(), base_raster.to_numpy())
+
+    def test_tile_boundary_invisible(self, spark):
+        rng = np.random.RandomState(17)
+        arr = rng.rand(8, 8)
+        meta_small = RasterMeta(2.0, "EPSG:2193", Affine(2, 0, 0, 0, -2, 16), 8, 8, tile_size=2)
+        meta_big = meta_small.with_(tile_size=8)
+        a = RasterFrame.from_numpy(spark, arr, meta_small).resample(1.5).to_numpy()
+        b = RasterFrame.from_numpy(spark, arr, meta_big).resample(1.5).to_numpy()
+        np.testing.assert_allclose(a, b, rtol=1e-12)
+
+    def test_bad_method(self, spark, base_raster):
+        with pytest.raises(NotImplementedError):
+            base_raster.resample(5.0, method="cubic")

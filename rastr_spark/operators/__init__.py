@@ -1,4 +1,14 @@
 """Operator modules. Importing this package attaches the reference's fluent
 operator surface (arithmetic, stats, crop/pad/trim, …) onto ``RasterFrame``."""
 
-from . import aggregates, elementwise, geometric, joins, resample, stencils  # noqa: F401
+from . import (  # noqa: F401
+    aggregates,
+    elementwise,
+    geometric,
+    interpolate,
+    joins,
+    rasterize,
+    resample,
+    stencils,
+    vectorize,
+)

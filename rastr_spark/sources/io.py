@@ -1,0 +1,84 @@
+"""Raster I/O: partitioned parquet/Iceberg-style tile store + GSAG ASCII grids.
+
+GeoTIFF is out of scope (no rasterio/GDAL in this environment `[env]`); the
+engine's native persistent format is the tile table written as parquet
+partitioned by ``cell_id`` (Morton/Z-order — spatially clustered files, so
+bbox predicates prune partitions, the Iceberg hidden-partitioning idea on plain
+parquet). The GSAG `.grd` ASCII path replicates reference src/rastr/io_.py:138-187
+(Surfer ASCII grid: DSAA header, xlo xhi / ylo yhi / zlo zhi, rows bottom-up,
+NaN ↔ 1.70141e38 blanking value).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+from pyspark.sql import SparkSession
+
+from ..meta import Affine, RasterMeta
+from ..tiles import RasterFrame
+
+GSAG_BLANK = 1.70141e38
+
+
+def write_raster(rf: RasterFrame, path: str | Path, *, partition_by_cell: bool = True) -> None:
+    """Persist a RasterFrame: tile parquet (partitioned by cell_id) + meta JSON."""
+    path = Path(path)
+    writer = rf.df.write.mode("overwrite")
+    if partition_by_cell:
+        writer = writer.partitionBy("cell_id")
+    writer.parquet(str(path / "tiles"))
+    (path / "meta.json").parent.mkdir(parents=True, exist_ok=True)
+    (path / "meta.json").write_text(json.dumps(rf.meta.to_row(rf.raster_id)))
+
+
+def read_raster(spark: SparkSession, path: str | Path) -> RasterFrame:
+    path = Path(path)
+    meta_row = json.loads((path / "meta.json").read_text())
+    meta = RasterMeta.from_row(meta_row)
+    df = spark.read.parquet(str(path / "tiles")).select(
+        "raster_id", "tile_row", "tile_col", "cell_id", "values"
+    )
+    return RasterFrame(df, meta, meta_row["raster_id"])
+
+
+def write_gsag(rf: RasterFrame, path: str | Path) -> None:
+    """Surfer ASCII grid (reference io_.py GSAG branch). Collects — driver-side
+    format for small rasters only (the reference is single-node anyway)."""
+    arr = rf.to_numpy().astype(np.float64)
+    meta = rf.meta
+    b = meta.bounds()
+    half = meta.cell_size / 2
+    a = np.where(np.isnan(arr), GSAG_BLANK, arr)
+    zmin = float(np.nanmin(arr)) if np.isfinite(arr).any() else 0.0
+    zmax = float(np.nanmax(arr)) if np.isfinite(arr).any() else 0.0
+    lines = [
+        "DSAA",
+        f"{meta.width} {meta.height}",
+        f"{b.xmin + half} {b.xmax - half}",  # GSAG extents are node (centre) coords
+        f"{b.ymin + half} {b.ymax - half}",
+        f"{zmin} {zmax}",
+    ]
+    # GSAG rows run south→north (bottom-up); our array is top-down
+    flipped = a[::-1] if meta.transform.e < 0 else a
+    for row in flipped:
+        lines.append(" ".join(f"{v:.6f}" if v != GSAG_BLANK else f"{GSAG_BLANK:.5e}" for v in row))
+    Path(path).write_text("\n".join(lines) + "\n")
+
+
+def read_gsag(spark: SparkSession, path: str | Path, *, crs: str = "EPSG:2193", tile_size: int = 256) -> RasterFrame:
+    text = Path(path).read_text().strip().splitlines()
+    if text[0].strip() != "DSAA":
+        raise ValueError("not a GSAG ASCII grid (missing DSAA header)")
+    w, h = (int(v) for v in text[1].split())
+    xlo, xhi = (float(v) for v in text[2].split())
+    ylo, yhi = (float(v) for v in text[3].split())
+    vals = np.array([float(v) for line in text[5:] for v in line.split()]).reshape(h, w)
+    vals = np.where(np.isclose(vals, GSAG_BLANK, rtol=1e-5), np.nan, vals)
+    cell = (xhi - xlo) / (w - 1) if w > 1 else 1.0
+    arr = vals[::-1]  # back to top-down
+    t = Affine(cell, 0, xlo - cell / 2, 0, -cell, yhi + cell / 2)
+    meta = RasterMeta(cell, crs, t, h, w, tile_size=tile_size)
+    return RasterFrame.from_numpy(spark, arr, meta)

@@ -1,0 +1,149 @@
+"""Sources: checkpoint manager (resume protocol), raster I/O, streaming updates,
+multimodal plumbing, packaging."""
+
+import time
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+import rastr_spark  # noqa: F401
+from rastr_spark.functions.multimodal import decode_image, frame_sample, image_features, synthesize_media
+from rastr_spark.meta import Affine, RasterMeta
+from rastr_spark.sources.checkpoint import CheckpointManager
+from rastr_spark.sources.io import read_gsag, read_raster, write_gsag, write_raster
+from rastr_spark.streaming.updates import read_update_stream, run_to_memory, windowed_tile_stats
+from rastr_spark.tiles import RasterFrame
+
+
+class TestCheckpoint:
+    def test_run_and_resume(self, spark, tmp_path):
+        cm = CheckpointManager(tmp_path / "ckpt")
+        calls = []
+
+        def build():
+            calls.append(1)
+            return spark.range(10).withColumn("v", F.col("id") * 2)
+
+        r1 = cm.run_stage(spark, "stage1", "fp-abc", build)
+        assert not r1.resumed and r1.metrics["rows_out"] == 10
+        r2 = cm.run_stage(spark, "stage1", "fp-abc", build)
+        assert r2.resumed and len(calls) == 1  # second run came from checkpoint
+        assert r2.df.count() == 10
+
+    def test_fingerprint_change_recomputes(self, spark, tmp_path):
+        cm = CheckpointManager(tmp_path / "ckpt")
+        calls = []
+
+        def build():
+            calls.append(1)
+            return spark.range(5)
+
+        cm.run_stage(spark, "s", "fp1", build)
+        cm.run_stage(spark, "s", "fp2", build)
+        assert len(calls) == 2
+
+    def test_invalidate(self, spark, tmp_path):
+        cm = CheckpointManager(tmp_path / "ckpt")
+        calls = []
+
+        def build():
+            calls.append(1)
+            return spark.range(3)
+
+        cm.run_stage(spark, "s", "fp", build)
+        cm.invalidate("s")
+        cm.run_stage(spark, "s", "fp", build)
+        assert len(calls) == 2
+
+    def test_metrics_shape(self, spark, tmp_path):
+        cm = CheckpointManager(tmp_path / "ckpt")
+        r = cm.run_stage(spark, "m", "fp", lambda: spark.range(100).repartition(4))
+        assert r.metrics["rows_out"] == 100
+        assert r.metrics["n_partitions"] >= 1
+        assert all("partition_id" in p and "rows" in p for p in r.metrics["partitions"])
+
+
+class TestRasterIO:
+    def test_parquet_roundtrip(self, spark, tmp_path, base_raster):
+        write_raster(base_raster, tmp_path / "r")
+        back = read_raster(spark, tmp_path / "r")
+        assert back.meta == base_raster.meta
+        np.testing.assert_array_equal(back.to_numpy(), base_raster.to_numpy())
+
+    def test_gsag_roundtrip(self, spark, tmp_path):
+        arr = np.array([[1.0, 2.0], [np.nan, 4.0]])
+        meta = RasterMeta(1.0, "EPSG:2193", Affine(1, 0, 0, 0, -1, 2), 2, 2, tile_size=2)
+        rf = RasterFrame.from_numpy(spark, arr, meta)
+        write_gsag(rf, tmp_path / "g.grd")
+        back = read_gsag(spark, tmp_path / "g.grd", tile_size=2)
+        got = back.to_numpy()
+        np.testing.assert_allclose(got[np.isfinite(got)], arr[np.isfinite(arr)], rtol=1e-5)
+        assert np.isnan(got[1, 0])
+        assert back.meta.cell_size == 1.0
+
+
+class TestStreaming:
+    def test_windowed_tile_stats(self, spark, tmp_path):
+        src = tmp_path / "updates"
+        src.mkdir()
+        rows = [
+            ("2024-01-01 00:00:10", 0, 0, 1.0),
+            ("2024-01-01 00:00:20", 0, 1, 3.0),
+            ("2024-01-01 00:01:10", 300, 300, 5.0),
+            ("2024-01-01 00:00:30", 5, 5, float("nan")),
+        ]
+        spark.createDataFrame(rows, "ts string, row int, col int, value double").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        ).write.parquet(str(src / "batch1"))
+        stream = read_update_stream(spark, str(src / "*"))
+        stats = windowed_tile_stats(stream, tile_size=256, window="1 minute")
+        q = run_to_memory(stats, "tile_stats_test")
+        q.awaitTermination(60)
+        out = {(r["tile_row"], r["tile_col"]): r for r in spark.sql("select * from tile_stats_test").collect()}
+        assert out[(0, 0)]["cnt"] == 2 and out[(0, 0)]["mean"] == 2.0  # NaN row excluded
+        assert out[(1, 1)]["cnt"] == 1 and out[(1, 1)]["s"] == 5.0
+
+
+class TestMultimodal:
+    def test_decode_stub_raises(self):
+        with pytest.raises(NotImplementedError):
+            decode_image(b"x", 4, 4, 3)
+
+    def test_fake_decode_deterministic(self):
+        a = decode_image(b"payload", 8, 8, 3, fake=True)
+        b = decode_image(b"payload", 8, 8, 3, fake=True)
+        np.testing.assert_array_equal(a, b)
+        assert a.shape == (8, 8, 3) and a.dtype == np.uint8
+
+    def test_image_features_shape(self, spark):
+        media = synthesize_media(spark, 30)
+        feats = image_features(media, grid=4).collect()
+        assert len(feats) == 10  # one third are images
+        for r in feats:
+            assert len(r["feature"]) == 16
+            assert all(0.0 <= v <= 1.0 for v in r["feature"])
+
+    def test_frame_sample(self, spark):
+        media = synthesize_media(spark, 30)
+        frames = frame_sample(media, every_n=10)
+        rows = frames.groupBy("media_id").count().collect()
+        assert len(rows) == 10  # videos only
+        idx = frames.filter(F.col("frame_idx") % 10 != 0).count()
+        assert idx == 0
+
+
+class TestPackaging:
+    def test_zip_builds_and_imports(self, tmp_path):
+        import subprocess
+        import sys
+        import zipfile
+
+        out = subprocess.run(
+            [sys.executable, "scripts/package.py"], capture_output=True, text=True, cwd="/root/repo"
+        )
+        assert out.returncode == 0, out.stderr
+        with zipfile.ZipFile("/root/repo/dist/rastr_spark.zip") as z:
+            names = z.namelist()
+        assert "rastr_spark/__init__.py" in names
+        assert any("operators/joins.py" in n for n in names)

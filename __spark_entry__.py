@@ -552,6 +552,182 @@ GROUP BY n_name
 """
 
 
+def _q_dilate(spark, sf_dir):
+    rf = _lineitem_raster(spark, sf_dir)
+    return rf.dilate(CELL).cells(drop_nan=True)  # radius 1 cell → disk = plus shape
+
+
+_ORACLE_DILATE = f"""
+WITH cells AS ({_CELLS_SQL})
+SELECT c.row AS row, c.col AS col, max(n.value) AS value
+FROM cells c JOIN cells n
+ON abs(n.row - c.row) + abs(n.col - c.col) <= 1
+GROUP BY c.row, c.col
+"""
+
+
+def _q_sobel(spark, sf_dir):
+    rf = _lineitem_raster(spark, sf_dir)
+    return (
+        rf.sobel()
+        .cells(drop_nan=True)
+        .filter((F.col("row").between(1, GRID - 2)) & (F.col("col").between(1, GRID - 2)))
+        .select("row", "col", F.round("value", 6).alias("value"))
+    )
+
+
+_ORACLE_SOBEL = f"""
+WITH cells AS ({_CELLS_SQL}),
+n9 AS (
+  SELECT c.row, c.col,
+         sum(n.value * (-(n.row - c.row)) * (2 - abs(n.col - c.col))) / 8.0 AS v,
+         sum(n.value * (-(n.col - c.col)) * (2 - abs(n.row - c.row))) / 8.0 AS h
+  FROM cells c JOIN cells n
+  ON n.row BETWEEN c.row - 1 AND c.row + 1 AND n.col BETWEEN c.col - 1 AND c.col + 1
+  WHERE c.row BETWEEN 1 AND {GRID - 2} AND c.col BETWEEN 1 AND {GRID - 2}
+  GROUP BY c.row, c.col
+)
+SELECT row, col, round(sqrt(2 * (v * v + h * h)) / {CELL}, 6) AS value FROM n9
+"""
+
+
+def _blur_w1():
+    import numpy as _np
+
+    x = _np.arange(-1, 2)
+    w = _np.exp(-0.5 * (x / 0.25) ** 2)
+    return (w / w.sum()).tolist()
+
+
+def _q_blur(spark, sf_dir):
+    rf = _lineitem_raster(spark, sf_dir)
+    return (
+        rf.blur(2.0, preserve_nan=False)  # σ = 2 m = 0.25 cells → radius 1
+        .cells(drop_nan=True)
+        .filter((F.col("row").between(1, GRID - 2)) & (F.col("col").between(1, GRID - 2)))
+        .select("row", "col", F.round("value", 6).alias("value"))
+    )
+
+
+def _blur_oracle() -> str:
+    w = _blur_w1()
+    terms = " + ".join(
+        f"sum(CASE WHEN n.row - c.row = {dr} AND n.col - c.col = {dc} THEN n.value ELSE 0 END) * {w[dr+1] * w[dc+1]!r}"
+        for dr in (-1, 0, 1)
+        for dc in (-1, 0, 1)
+    )
+    return f"""
+WITH cells AS ({_CELLS_SQL})
+SELECT c.row AS row, c.col AS col, round({terms}, 6) AS value
+FROM cells c JOIN cells n
+ON n.row BETWEEN c.row - 1 AND c.row + 1 AND n.col BETWEEN c.col - 1 AND c.col + 1
+WHERE c.row BETWEEN 1 AND {GRID - 2} AND c.col BETWEEN 1 AND {GRID - 2}
+GROUP BY c.row, c.col
+"""
+
+
+def _q_resample(spark, sf_dir):
+    rf = _lineitem_raster(spark, sf_dir)
+    out = rf.resample(CELL * 2)  # exact 2× downsample → mean of each 2×2 block
+    return out.cells(drop_nan=True).select("row", "col", F.round("value", 6).alias("value"))
+
+
+_ORACLE_RESAMPLE = f"""
+WITH cells AS ({_CELLS_SQL})
+SELECT CAST(row // 2 AS INT) AS row, CAST(col // 2 AS INT) AS col,
+       round(sum(value) / 4.0, 6) AS value
+FROM cells GROUP BY 1, 2
+"""
+
+
+def _q_extrapolate(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    r_cells = (
+        li.filter(F.col("l_returnflag") == "R")
+        .groupBy(
+            (F.col("l_partkey") % GRID).cast("int").alias("row"),
+            (F.col("l_suppkey") % GRID).cast("int").alias("col"),
+        )
+        .agg(F.sum("l_quantity").alias("value"))
+    )
+    rf = RasterFrame.from_cells(r_cells, META, raster_id="rr")
+    return rf.extrapolate().cells(drop_nan=True)
+
+
+_ORACLE_EXTRAPOLATE = f"""
+WITH rc AS (
+  SELECT l_partkey % {GRID} AS row, l_suppkey % {GRID} AS col, sum(l_quantity) AS value
+  FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1, 2
+),
+grid AS (SELECT t1.r AS row, t2.c AS col FROM range({GRID}) t1(r), range({GRID}) t2(c)),
+ranked AS (
+  SELECT g.row, g.col, rc.value,
+         row_number() OVER (
+           PARTITION BY g.row, g.col
+           ORDER BY (rc.row - g.row) * (rc.row - g.row) + (rc.col - g.col) * (rc.col - g.col),
+                    rc.row, rc.col
+         ) AS rn
+  FROM grid g, rc
+)
+SELECT row, col, value FROM ranked WHERE rn = 1
+"""
+
+
+def _q_distance(spark, sf_dir):
+    from rastr_spark.operators.interpolate import raster_distance_from_polygon
+
+    poly = Geometry.box(128.0, 128.0, 384.0, 384.0)
+    extent = Geometry.box(0.0, 0.0, WORLD, WORLD)
+    rf = raster_distance_from_polygon(spark, poly, raster_meta=META, extent_polygon=extent)
+    return rf.cells(drop_nan=True).select("row", "col", F.round("value", 6).alias("value"))
+
+
+_ORACLE_DISTANCE = f"""
+WITH grid AS (SELECT t1.r AS row, t2.c AS col FROM range({GRID}) t1(r), range({GRID}) t2(c)),
+cent AS (SELECT row, col, (col*8 + 4.0)::double AS x, (512.0 - row*8 - 4.0)::double AS y FROM grid)
+SELECT row, col,
+       round(sqrt(pow(greatest(128.0 - x, x - 384.0, 0.0), 2) + pow(greatest(128.0 - y, y - 384.0, 0.0), 2)), 6) AS value
+FROM cent WHERE NOT (x > 128.0 AND x < 384.0 AND y > 128.0 AND y < 384.0)
+"""
+
+
+def _q_taper(spark, sf_dir):
+    rf = _lineitem_raster(spark, sf_dir)
+    return (
+        rf.taper_border(CELL * 2)  # width 2 cells, limit 0
+        .cells(drop_nan=True)
+        .select("row", "col", F.round("value", 6).alias("value"))
+    )
+
+
+_ORACLE_TAPER = f"""
+WITH cells AS ({_CELLS_SQL}),
+d AS (SELECT row, col, value, least(row, col, {GRID - 1} - row, {GRID - 1} - col) AS dist FROM cells)
+SELECT row, col,
+       round(CASE WHEN dist < 2 THEN value * (dist / 2.0) ELSE value END, 6) AS value
+FROM d
+"""
+
+
+def _q_normalize(spark, sf_dir):
+    rf = _lineitem_raster(spark, sf_dir)
+    return (
+        rf.normalize()
+        .clamp(0.2, 0.8)
+        .cells(drop_nan=True)
+        .select("row", "col", F.round("value", 6).alias("value"))
+    )
+
+
+_ORACLE_NORMALIZE = f"""
+WITH cells AS ({_CELLS_SQL}),
+mm AS (SELECT min(value) AS lo, max(value) AS hi FROM cells)
+SELECT row, col,
+       round(least(greatest(least(greatest((value - lo) / (hi - lo), 0.0), 1.0), 0.2), 0.8), 6) AS value
+FROM cells, mm
+"""
+
+
 # -- rows-only queries (no SQL-expressible oracle) ---------------------------
 
 def _q_flagship(spark, sf_dir):
@@ -579,6 +755,56 @@ def _q_srp_topk(spark, sf_dir):
     return out.select("query_id", "vec_id", "rank", F.round("score", 6).alias("score"))
 
 
+def _q_contour(spark, sf_dir):
+    """Contour extraction summary (stitch order is not canonical → aggregate form)."""
+    rf = _lineitem_raster(spark, sf_dir)
+    pdf = rf.contour([200.0, 400.0], smoothing=False)
+    rows = []
+    for _, r in pdf.iterrows():
+        g = r["geometry"]
+        xy = g.xy
+        rows.append(
+            (
+                float(r["level"]),
+                int(len(g.ring_offsets) - 1),
+                int(len(xy)),
+                round(float(xy[:, 0].sum()), 2),
+                round(float(xy[:, 1].sum()), 2),
+            )
+        )
+    return spark.createDataFrame(
+        rows, "level double, n_lines int, n_points int, sum_x double, sum_y double"
+    )
+
+
+def _q_point_cloud(spark, sf_dir):
+    """Delaunay point-cloud interpolation over points derived from supplier keys."""
+    sup = _read(spark, sf_dir, "supplier").collect()
+    import numpy as _np
+
+    ks = _np.array(sorted(r["s_suppkey"] for r in sup))[:60]
+    x = (ks * 37 % 100).astype(float)
+    y = (ks * 53 % 100).astype(float)
+    z = (ks % 17).astype(float)
+    # drop duplicate (x, y) pairs deterministically (keep first)
+    seen = {}
+    for xi, yi, zi in zip(x, y, z):
+        seen.setdefault((xi, yi), zi)
+    pts = sorted(seen.items())
+    from rastr_spark.operators.interpolate import raster_from_point_cloud
+
+    rf = raster_from_point_cloud(
+        spark,
+        [p[0][0] for p in pts],
+        [p[0][1] for p in pts],
+        [p[1] for p in pts],
+        crs="EPSG:2193",
+        cell_size=5.0,
+        tile_size=8,
+    )
+    return rf.cells(drop_nan=True).select("row", "col", F.round("value", 6).alias("value"))
+
+
 def _q_multimodal_features(spark, sf_dir):
     media = synthesize_media(spark, 300)
     feats = image_features(media, grid=4, fake_decode=True)
@@ -600,6 +826,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_crop": _q_crop,
         "raster_vectorize_fishnet": _q_vectorize,
         "raster_knn": _q_knn,
+        "raster_dilate": _q_dilate,
+        "raster_sobel_interior": _q_sobel,
+        "raster_blur_interior": _q_blur,
+        "raster_resample_2x_down": _q_resample,
+        "raster_extrapolate_nn": _q_extrapolate,
+        "raster_distance_to_box": _q_distance,
+        "raster_taper_border": _q_taper,
+        "raster_normalize_clamp": _q_normalize,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         "dedup_minhash_lsh": _q_minhash_lsh,
@@ -614,6 +848,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_simhash,
         "sim_srp_topk": _q_srp_topk,
         "multimodal_image_features": _q_multimodal_features,
+        "raster_contour_summary": _q_contour,
+        "raster_point_cloud_interp": _q_point_cloud,
     }
 
 
@@ -628,6 +864,14 @@ def oracle_sql() -> dict[str, str]:
         "raster_crop": _ORACLE_CROP,
         "raster_vectorize_fishnet": _ORACLE_VECTORIZE,
         "raster_knn": _ORACLE_KNN,
+        "raster_dilate": _ORACLE_DILATE,
+        "raster_sobel_interior": _ORACLE_SOBEL,
+        "raster_blur_interior": _blur_oracle(),
+        "raster_resample_2x_down": _ORACLE_RESAMPLE,
+        "raster_extrapolate_nn": _ORACLE_EXTRAPOLATE,
+        "raster_distance_to_box": _ORACLE_DISTANCE,
+        "raster_taper_border": _ORACLE_TAPER,
+        "raster_normalize_clamp": _ORACLE_NORMALIZE,
         "dedup_exact": _ORACLE_DEDUP_EXACT,
         "dedup_ngram_jaccard": _ORACLE_JACCARD,
         "dedup_minhash_lsh": _minhash_oracle(),

@@ -128,6 +128,10 @@ def doc_zonal_stats(
             "tile_col",
             F.ceil(F.col("count") / salt_threshold).cast("int").alias("n_salt"),
         )
+        # tiny (hot tiles only) but referenced twice — cache so the doc table is
+        # not re-derived for the partials-side salt fan-out (.explain showed a
+        # third full doc scan without this)
+        hot = hot.cache()
         refs = refs.join(F.broadcast(hot), ["tile_row", "tile_col"], "left").withColumn(
             "salt",
             F.when(

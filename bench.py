@@ -35,8 +35,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "200000"))
 
-# bench raster: 2048×2048 cells, T=256 → 64 tiles, world 16384 m @ 8 m cells
-BENCH_GRID = 2048
+# bench raster: 4096×4096 cells, T=256 → 256 tiles (FIXTURES.md §6)
+BENCH_GRID = int(os.environ.get("SPARK_GRAFT_BENCH_GRID", "4096"))
 BENCH_CELL = 8.0
 BENCH_WORLD = BENCH_GRID * BENCH_CELL
 BENCH_META = RasterMeta(
@@ -46,16 +46,19 @@ BENCH_META = RasterMeta(
 
 
 def bench_zones() -> list[tuple[str, Geometry]]:
-    """~12 polygons incl. a concave horseshoe; a few concentrated on hot (low-index)
-    tiles to stress the skew path (FIXTURES.md §6)."""
+    """~100 polygons (FIXTURES.md §6): a 9×9 grid of boxes, 10 hot-corner boxes over
+    the Zipf-dense tiles, a concave horseshoe, and a big triangle."""
     zs: list[tuple[str, Geometry]] = []
     w = BENCH_WORLD
-    for i in range(3):
-        for j in range(3):
+    n = 9
+    for i in range(n):
+        for j in range(n):
             zs.append(
-                (f"box_{i}{j}", Geometry.box(i * w / 3, j * w / 3, (i + 1) * w / 3, (j + 1) * w / 3))
+                (f"box_{i}_{j}", Geometry.box(i * w / n, j * w / n, (i + 1) * w / n, (j + 1) * w / n))
             )
-    zs.append(("hot_corner", Geometry.box(0, w * 0.75, w * 0.25, w)))  # covers the Zipf-hot tiles
+    for k in range(10):  # nested boxes over the hot (low tile index = top-left) corner
+        frac = 0.05 + 0.03 * k
+        zs.append((f"hot_{k}", Geometry.box(0, w * (1 - frac), w * frac, w)))
     zs.append(
         ("horseshoe", Geometry.polygon(
             [(0, 0), (w, 0), (w, w), (0.7 * w, w), (0.7 * w, 0.3 * w), (0.3 * w, 0.3 * w), (0.3 * w, w), (0, w)]

@@ -55,9 +55,10 @@ spark.stop()
 
 def run(cpus: int, n_docs: int) -> dict:
     code = CHILD.format(root=str(ROOT))
+    env = dict(os.environ, SPARK_GRAFT_BENCH_GRID=os.environ.get("SPARK_GRAFT_BENCH_GRID", "4096"))
     out = subprocess.run(
         [sys.executable, "-c", code, str(cpus), str(n_docs)],
-        capture_output=True, text=True, cwd=str(ROOT), timeout=1800,
+        capture_output=True, text=True, cwd=str(ROOT), timeout=1800, env=env,
     )
     if out.returncode != 0:
         raise RuntimeError(f"child failed (cpus={cpus}):\n{out.stderr[-3000:]}")
@@ -66,7 +67,7 @@ def run(cpus: int, n_docs: int) -> dict:
 
 
 def main():
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 200000
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
     r8 = run(8, n_docs)
     r32 = run(32, n_docs)
     eff = (r32["docs_per_sec"] / r8["docs_per_sec"]) / 4.0

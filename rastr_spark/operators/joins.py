@@ -230,7 +230,20 @@ def sample(rf: RasterFrame, xy, *, na_action: str = "raise"):
     """Array/driver surface with the reference's polymorphism + NaN handling
     (src/rastr/raster.py:417-541): singleton tuple → float; collection → ndarray
     in input order; NaN coords raise or pass through as NaN."""
-    singleton = (
+    from ..geometry import Geometry
+
+    singleton = False
+    if isinstance(xy, Geometry):  # reference's shapely-Point polymorphism
+        if xy.kind != "point":
+            raise NotImplementedError("Sampling is only supported for Point geometries.")
+        xy = (float(xy.coords[0]), float(xy.coords[1]))
+        singleton = True
+    elif isinstance(xy, (list, tuple)) and len(xy) > 0 and isinstance(next(iter(xy)), Geometry):
+        pts = list(xy)
+        if any(g.kind != "point" for g in pts):
+            raise NotImplementedError("Sampling is only supported for Point geometries.")
+        xy = [(float(g.coords[0]), float(g.coords[1])) for g in pts]
+    singleton = singleton or (
         isinstance(xy, tuple) and len(xy) == 2 and isinstance(xy[0], (int, float))
     )
     arr = np.asarray([xy] if singleton else xy, dtype=np.float64)

@@ -193,3 +193,22 @@ class TestMosaic:
         b = RasterFrame.from_numpy(spark, np.array([[2.0]]), meta_b)
         with pytest.raises(ValueError):
             mosaic([a, b])
+
+
+class TestSamplePolymorphism:
+    def test_geometry_point_singleton(self, grid4):
+        from rastr_spark.geometry import Geometry
+
+        assert grid4.sample(Geometry.point(0.5, 3.5)) == 1.0
+
+    def test_geometry_point_list(self, grid4):
+        from rastr_spark.geometry import Geometry
+
+        vals = grid4.sample([Geometry.point(0.5, 3.5), Geometry.point(3.5, 0.5)])
+        np.testing.assert_array_equal(vals, [1.0, 16.0])
+
+    def test_non_point_geometry_rejected(self, grid4):
+        from rastr_spark.geometry import Geometry
+
+        with pytest.raises(NotImplementedError):
+            grid4.sample(Geometry.linestring([(0, 0), (1, 1)]))

@@ -260,3 +260,25 @@ class TestResample:
     def test_bad_method(self, spark, base_raster):
         with pytest.raises(NotImplementedError):
             base_raster.resample(5.0, method="cubic")
+
+
+class TestDilateProperties:
+    """Port of the reference's Hypothesis dilate contract (test_raster.py:2126-2209),
+    exercised over a deterministic example matrix instead of hypothesis strategies."""
+
+    @pytest.mark.parametrize("seed", range(4))
+    def test_invariants(self, spark, seed):
+        rng = np.random.RandomState(seed)
+        arr = rng.rand(5, 5) * 10
+        nan_mask = rng.rand(5, 5) < 0.3
+        arr[nan_mask] = np.nan
+        if np.isnan(arr).all():
+            arr[0, 0] = 1.0
+        rf = make_rf(spark, arr, tile_size=3)
+        out = rf.dilate(1.5).to_numpy()
+        # NaN mask preserved
+        np.testing.assert_array_equal(np.isnan(out), np.isnan(arr))
+        # sum and min non-decreasing
+        assert np.nansum(out) >= np.nansum(arr) - 1e-9
+        if np.isfinite(arr).any():
+            assert np.nanmin(out) >= np.nanmin(arr) - 1e-9

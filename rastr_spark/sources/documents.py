@@ -55,53 +55,56 @@ def generate_documents(
     independent uniform draws — a cheap heavy-head distribution that concentrates
     mass on low tile indices (hot cells) without any non-JVM code.
     """
+    def span_expr(i, j):
+        """One span struct as a pure expression of (doc index, span index)."""
+        key = i * F.lit(max_spans * 2 + 1) + j.cast("long")
+        is_media = (_h(key, seed + 1) % 2) == 0
+        # Zipfian-ish tile: min of k uniforms over the tile grid
+        draws = [
+            _h(key, seed + 10 + d) % (n_tile_rows * n_tile_cols) for d in range(zipf_sharpness)
+        ]
+        tile_idx = F.least(*draws)
+        tile_row = (tile_idx / n_tile_cols).cast("int")
+        tile_col = (tile_idx % n_tile_cols).cast("int")
+        media_ref = F.concat_ws(
+            "/", F.lit(raster_id), tile_row.cast("string"), tile_col.cast("string")
+        )
+        # text spans: a small axis-aligned box geometry, deterministic from the key
+        bx = (_h(key, seed + 20) % 1000).cast("double") / 1000.0 * (world_size * 0.9)
+        by = (_h(key, seed + 21) % 1000).cast("double") / 1000.0 * (world_size * 0.9)
+        bw = (_h(key, seed + 22) % 100).cast("double") / 100.0 * (world_size * 0.1) + 1.0
+        x0, y0, x1, y1 = bx, by, bx + bw, by + bw
+        geom_text = F.concat_ws(
+            ";",
+            F.lit("polygon"),
+            F.concat_ws(
+                ",",
+                x0.cast("string"), y0.cast("string"),
+                x1.cast("string"), y0.cast("string"),
+                x1.cast("string"), y1.cast("string"),
+                x0.cast("string"), y1.cast("string"),
+                x0.cast("string"), y0.cast("string"),
+            ),
+            F.lit("0,5"),
+            F.lit("0,1"),
+        )
+        return F.struct(
+            F.when(is_media, F.lit("media")).otherwise(F.lit("text")).alias("kind"),
+            F.when(is_media, F.lit(None).cast("string")).otherwise(geom_text).alias("text"),
+            F.when(is_media, media_ref).otherwise(F.lit(None).cast("string")).alias("media_ref"),
+            j.cast("int").alias("offset"),
+        )
+
+    # Shuffle-free: the spans array is built in place with transform(sequence(...)) —
+    # an explode→groupBy→collect_list formulation would shuffle every span row
+    # (measured: it dominated the flagship wall time and killed scaling at 10⁷ docs).
     docs = spark.range(n_docs).select(F.col("id").alias("i"))
     n_spans = (_h(F.col("i"), seed) % (max_spans - 1) + 1).cast("int")
-    docs = docs.select("i", F.sequence(F.lit(0), n_spans - 1).alias("span_idx_arr"))
-    spans = docs.select("i", F.explode("span_idx_arr").alias("j"))
-    key = F.col("i") * F.lit(max_spans * 2 + 1) + F.col("j")
-    is_media = (_h(key, seed + 1) % 2) == 0
-    # Zipfian-ish tile: min of k uniforms over the tile grid
-    draws = [
-        _h(key, seed + 10 + d) % (n_tile_rows * n_tile_cols) for d in range(zipf_sharpness)
-    ]
-    tile_idx = F.least(*draws)
-    tile_row = (tile_idx / n_tile_cols).cast("int")
-    tile_col = (tile_idx % n_tile_cols).cast("int")
-    media_ref = F.concat_ws("/", F.lit(raster_id), tile_row.cast("string"), tile_col.cast("string"))
-    # text spans: a small axis-aligned box geometry, deterministic from the key
-    bx = (_h(key, seed + 20) % 1000).cast("double") / 1000.0 * (world_size * 0.9)
-    by = (_h(key, seed + 21) % 1000).cast("double") / 1000.0 * (world_size * 0.9)
-    bw = (_h(key, seed + 22) % 100).cast("double") / 100.0 * (world_size * 0.1) + 1.0
-    x0, y0, x1, y1 = bx, by, bx + bw, by + bw
-    geom_text = F.concat_ws(
-        ";",
-        F.lit("polygon"),
-        F.concat_ws(
-            ",",
-            x0.cast("string"), y0.cast("string"),
-            x1.cast("string"), y0.cast("string"),
-            x1.cast("string"), y1.cast("string"),
-            x0.cast("string"), y1.cast("string"),
-            x0.cast("string"), y0.cast("string"),
-        ),
-        F.lit("0,5"),
-        F.lit("0,1"),
-    )
-    span = F.struct(
-        F.when(is_media, F.lit("media")).otherwise(F.lit("text")).alias("kind"),
-        F.when(is_media, F.lit(None).cast("string")).otherwise(geom_text).alias("text"),
-        F.when(is_media, media_ref).otherwise(F.lit(None).cast("string")).alias("media_ref"),
-        F.col("j").alias("offset"),
-    )
-    spans = spans.select("i", F.col("j"), span.alias("span"))
-    return (
-        spans.groupBy("i")
-        .agg(F.array_sort(F.collect_list(F.struct(F.col("j"), F.col("span")))).alias("ordered"))
-        .select(
-            F.concat(F.lit("doc-"), F.col("i").cast("string")).alias("doc_id"),
-            F.transform("ordered", lambda s: s["span"]).alias("spans"),
-        )
+    return docs.select(
+        F.concat(F.lit("doc-"), F.col("i").cast("string")).alias("doc_id"),
+        F.transform(
+            F.sequence(F.lit(0), n_spans - 1), lambda j: span_expr(F.col("i"), j)
+        ).alias("spans"),
     )
 
 

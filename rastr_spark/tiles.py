@@ -333,6 +333,52 @@ class RasterFrame:
     def bounds(self) -> Bounds:
         return self.meta.bounds()
 
+    # -- small accessor parity (reference src/rastr/raster.py:370-382, 561-576,
+    # 1067-1090, 832-839) --------------------------------------------------
+    @property
+    def shape(self) -> tuple[int, int]:
+        return self.meta.shape
+
+    @property
+    def crs(self) -> str:
+        return self.meta.crs
+
+    @property
+    def cell_size(self) -> float:
+        return self.meta.cell_size
+
+    def cell_x_coords(self) -> np.ndarray:
+        """Centre x per column (reference meta.get_cell_x_coords) — O(W) driver array."""
+        t = self.meta.transform
+        return t.a * (np.arange(self.meta.width) + 0.5) + t.c
+
+    def cell_y_coords(self) -> np.ndarray:
+        t = self.meta.transform
+        return t.e * (np.arange(self.meta.height) + 0.5) + t.f
+
+    def get_xy(self) -> tuple[np.ndarray, np.ndarray]:
+        """Centre-coordinate meshgrid (reference raster.py:1077-1090). Driver-side —
+        O(cells); for distributed use, as_geodataframe() carries x/y columns."""
+        gx, gy = np.meshgrid(self.cell_x_coords(), self.cell_y_coords())
+        return gx, gy
+
+    def bbox(self):
+        """Bounding box as a Geometry polygon (reference raster.py:561-576)."""
+        from .geometry import Geometry
+
+        b = self.meta.bounds()
+        return Geometry.box(b.xmin, b.ymin, b.xmax, b.ymax)
+
+    def copy(self) -> "RasterFrame":
+        return RasterFrame(self.df, self.meta, self.raster_id)
+
+    def __repr__(self) -> str:  # noqa: D105
+        return (
+            f"RasterFrame(raster_id={self.raster_id!r}, shape={self.meta.shape}, "
+            f"cell_size={self.meta.cell_size}, crs={self.meta.crs!r}, "
+            f"tile_size={self.meta.tile_size})"
+        )
+
     def set_crs(self, crs: str, *, allow_override: bool = False) -> "RasterFrame":
         """Metadata-only CRS change, no reprojection (reference: src/rastr/raster.py:327-367)."""
         if self.meta.crs and not allow_override and self.meta.crs != crs:

@@ -40,11 +40,14 @@ spark.sparkContext.setLogLevel("ERROR")
 rf = build_bench_raster(spark)
 rf = RasterFrame(rf.df.cache(), rf.meta, rf.raster_id)
 rf.df.count()
+# docs are NOT cached: the generator is pure JVM column compute (xxhash), so
+# regeneration is the streaming-scan cost — caching 10M interleaved docs (~12 GB)
+# just thrashes the block manager
 docs = generate_documents(spark, n_docs, seed=42, n_tile_rows=BENCH_META.n_tile_rows,
-    n_tile_cols=BENCH_META.n_tile_cols, raster_id="bench", world_size=BENCH_WORLD).cache()
-n = docs.count()
+    n_tile_cols=BENCH_META.n_tile_cols, raster_id="bench", world_size=BENCH_WORLD)
+n = n_docs
 # warmup (JIT/codegen), then measured run
-doc_zonal_stats(docs, rf, bench_zones(), salt_threshold=20000).count()
+doc_zonal_stats(docs.limit(200000), rf, bench_zones(), salt_threshold=20000).count()
 t0 = time.time()
 doc_zonal_stats(docs, rf, bench_zones(), salt_threshold=20000).count()
 wall = time.time() - t0

@@ -114,14 +114,21 @@ def main():
     results: dict[str, float] = {}
 
     # -- flagship: PIP-join + zonal stats over the interleaved doc table --------
+    # BASELINE protocol: inputs pre-generated/materialized, timing wraps only the
+    # triggering action (BASELINE.md notes)
+    import shutil
+    import tempfile
+
     rf = build_bench_raster(spark)
     rf = RasterFrame(rf.df.cache(), rf.meta, rf.raster_id)
-    rf.df.count()  # materialize input (input prep excluded from the timed action)
-    docs = generate_documents(
+    rf.df.count()
+    docs_dir = tempfile.mkdtemp(prefix="bench_docs_")
+    generate_documents(
         spark, N_DOCS, seed=42, n_tile_rows=BENCH_META.n_tile_rows,
         n_tile_cols=BENCH_META.n_tile_cols, raster_id="bench", world_size=BENCH_WORLD,
-    ).cache()
-    n_docs = docs.count()
+    ).write.mode("overwrite").parquet(f"{docs_dir}/documents")
+    docs = spark.read.parquet(f"{docs_dir}/documents")
+    n_docs = N_DOCS
     zones = bench_zones()
 
     t_flagship, _ = timed(lambda: doc_zonal_stats(docs, rf, zones, salt_threshold=20000).count())
@@ -144,6 +151,7 @@ def main():
         t, _ = timed(lambda name=name: qs[name](spark, SF_DIR).count())
         results[name] = round(t, 3)
 
+    shutil.rmtree(docs_dir, ignore_errors=True)
     total = round(sum(results.values()), 3)
     print(
         json.dumps(

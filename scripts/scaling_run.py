@@ -29,7 +29,7 @@ from rastr_spark.plans.flagship import doc_zonal_stats
 from rastr_spark.sources.documents import generate_documents
 from rastr_spark.tiles import RasterFrame
 
-cpus = int(sys.argv[1]); n_docs = int(sys.argv[2])
+cpus = int(sys.argv[1]); n_docs = int(sys.argv[2]); docs_path = sys.argv[3]
 spark = (SparkSession.builder.master(f"local[{{cpus}}]")
     .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 16)))
     .config("spark.sql.adaptive.enabled", "true")
@@ -40,11 +40,10 @@ spark.sparkContext.setLogLevel("ERROR")
 rf = build_bench_raster(spark)
 rf = RasterFrame(rf.df.cache(), rf.meta, rf.raster_id)
 rf.df.count()
-# docs are NOT cached: the generator is pure JVM column compute (xxhash), so
-# regeneration is the streaming-scan cost — caching 10M interleaved docs (~12 GB)
-# just thrashes the block manager
-docs = generate_documents(spark, n_docs, seed=42, n_tile_rows=BENCH_META.n_tile_rows,
-    n_tile_cols=BENCH_META.n_tile_cols, raster_id="bench", world_size=BENCH_WORLD)
+# BASELINE protocol: input pre-generated (BASELINE.md note) — docs come from a
+# parquet table written once by the parent; the timed pipeline reads it like the
+# production Iceberg table would be read, with nested-schema pruning.
+docs = spark.read.parquet(docs_path)
 n = n_docs
 # warmup (JIT/codegen), then measured run
 doc_zonal_stats(docs.limit(200000), rf, bench_zones(), salt_threshold=20000).count()
@@ -55,13 +54,33 @@ print(json.dumps({{"cpus": cpus, "n_docs": n, "wall_sec": wall, "docs_per_sec": 
 spark.stop()
 """
 
+GEN = r"""
+import sys
+sys.path.insert(0, {root!r})
+from pyspark.sql import SparkSession
+from bench import BENCH_META, BENCH_WORLD
+from rastr_spark.sources.documents import generate_documents
 
-def run(cpus: int, n_docs: int) -> dict:
+n_docs = int(sys.argv[1]); out = sys.argv[2]
+spark = (SparkSession.builder.master("local[32]")
+    .config("spark.driver.memory", "24g").config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+generate_documents(spark, n_docs, seed=42, n_tile_rows=BENCH_META.n_tile_rows,
+    n_tile_cols=BENCH_META.n_tile_cols, raster_id="bench", world_size=BENCH_WORLD
+).write.mode("overwrite").parquet(out)
+spark.stop()
+"""
+
+
+def _env():
+    return dict(os.environ, SPARK_GRAFT_BENCH_GRID=os.environ.get("SPARK_GRAFT_BENCH_GRID", "4096"))
+
+
+def run(cpus: int, n_docs: int, docs_path: str) -> dict:
     code = CHILD.format(root=str(ROOT))
-    env = dict(os.environ, SPARK_GRAFT_BENCH_GRID=os.environ.get("SPARK_GRAFT_BENCH_GRID", "4096"))
     out = subprocess.run(
-        [sys.executable, "-c", code, str(cpus), str(n_docs)],
-        capture_output=True, text=True, cwd=str(ROOT), timeout=1800, env=env,
+        [sys.executable, "-c", code, str(cpus), str(n_docs), docs_path],
+        capture_output=True, text=True, cwd=str(ROOT), timeout=1800, env=_env(),
     )
     if out.returncode != 0:
         raise RuntimeError(f"child failed (cpus={cpus}):\n{out.stderr[-3000:]}")
@@ -69,10 +88,26 @@ def run(cpus: int, n_docs: int) -> dict:
     return json.loads(line)
 
 
+def generate(n_docs: int, docs_path: str) -> None:
+    code = GEN.format(root=str(ROOT))
+    out = subprocess.run(
+        [sys.executable, "-c", code, str(n_docs), docs_path],
+        capture_output=True, text=True, cwd=str(ROOT), timeout=1800, env=_env(),
+    )
+    if out.returncode != 0:
+        raise RuntimeError(f"generator failed:\n{out.stderr[-3000:]}")
+
+
 def main():
+    import shutil
+    import tempfile
+
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
-    r8 = run(8, n_docs)
-    r32 = run(32, n_docs)
+    docs_path = tempfile.mkdtemp(prefix="bench_docs_") + "/documents"
+    generate(n_docs, docs_path)
+    r8 = run(8, n_docs, docs_path)
+    r32 = run(32, n_docs, docs_path)
+    shutil.rmtree(Path(docs_path).parent, ignore_errors=True)
     eff = (r32["docs_per_sec"] / r8["docs_per_sec"]) / 4.0
     result = {
         "n_docs": n_docs,

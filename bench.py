@@ -35,13 +35,17 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "200000"))
 
-# bench raster: 4096×4096 cells, T=256 → 256 tiles (FIXTURES.md §6)
+# bench raster: 4096×4096 cells (FIXTURES.md §6). Tile size 64 → 64×64 = 4096
+# tiles of 4 k cells (32 KB): the PIP kernel's working set stays L2-resident, so
+# it scales with cores instead of saturating DRAM bandwidth (measured: 256² tiles
+# made 32 threads SLOWER than 8 on this box).
 BENCH_GRID = int(os.environ.get("SPARK_GRAFT_BENCH_GRID", "4096"))
+BENCH_TILE = int(os.environ.get("SPARK_GRAFT_BENCH_TILE", "64"))
 BENCH_CELL = 8.0
 BENCH_WORLD = BENCH_GRID * BENCH_CELL
 BENCH_META = RasterMeta(
     BENCH_CELL, "EPSG:2193", Affine(BENCH_CELL, 0, 0, 0, -BENCH_CELL, BENCH_WORLD),
-    BENCH_GRID, BENCH_GRID, tile_size=256,
+    BENCH_GRID, BENCH_GRID, tile_size=BENCH_TILE,
 )
 
 

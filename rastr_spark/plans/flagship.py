@@ -61,42 +61,67 @@ def tile_zone_partials(rf: RasterFrame, zones: Sequence[tuple[str, Geometry]]) -
     zone_rows = [(zid, g.to_row(), g.bbox()) for zid, g in zones]
 
     def kernel(pdf_iter):
+        """Batched across tiles: the whole Arrow batch's equal-shaped tiles are
+        stacked and each zone's PIP runs ONCE over the stacked centre arrays —
+        per-tile Python overhead (the scaling bottleneck at thousands of small
+        tiles) disappears; only edge-tile shape groups run separately."""
         zs = [(zid, Geometry.from_row(gr), bb) for zid, gr, bb in zone_rows]
         Tsz = meta.tile_size
+        t = meta.transform
         for pdf in pdf_iter:
-            recs = []
-            for v, tr, tc in zip(pdf["values"], pdf["tile_row"], pdf["tile_col"]):
-                tr, tc = int(tr), int(tc)
-                r0, c0 = tr * Tsz, tc * Tsz
-                th, tw = min(Tsz, meta.height - r0), min(Tsz, meta.width - c0)
-                rows = np.arange(r0, r0 + th, dtype=np.float64)
-                cols = np.arange(c0, c0 + tw, dtype=np.float64)
-                cg, rg = np.meshgrid(cols, rows)
-                x, y = meta.transform.forward(cg.ravel() + 0.5, rg.ravel() + 0.5)
-                arr = np.asarray(v, dtype=np.float64)
-                valid = ~np.isnan(arr)
-                if not valid.any():
-                    continue
-                txmin, txmax, tymin, tymax = x.min(), x.max(), y.min(), y.max()
+            recs: list = []
+            trs = pdf["tile_row"].to_numpy()
+            tcs = pdf["tile_col"].to_numpy()
+            vals = pdf["values"].to_numpy()
+            th_all = np.minimum(Tsz, meta.height - trs * Tsz)
+            tw_all = np.minimum(Tsz, meta.width - tcs * Tsz)
+            for th, tw in set(zip(th_all.tolist(), tw_all.tolist())):
+                sel = np.nonzero((th_all == th) & (tw_all == tw))[0]
+                V = np.stack([np.asarray(vals[i], dtype=np.float64) for i in sel])  # (n, th*tw)
+                n = len(sel)
+                r0 = (trs[sel] * Tsz).astype(np.float64)
+                c0 = (tcs[sel] * Tsz).astype(np.float64)
+                rr = np.arange(th, dtype=np.float64)[:, None]
+                cc = np.arange(tw, dtype=np.float64)[None, :]
+                # per-tile global cell centres, shape (n, th, tw) → flat (n, th*tw)
+                colg = (c0[:, None, None] + cc + 0.5)
+                rowg = (r0[:, None, None] + rr + 0.5)
+                X = (t.a * colg + t.b * rowg + t.c).reshape(n, -1)
+                Y = (t.d * colg + t.e * rowg + t.f).reshape(n, -1)
+                valid = ~np.isnan(V)
+                txmin, txmax = X.min(axis=1), X.max(axis=1)
+                tymin, tymax = Y.min(axis=1), Y.max(axis=1)
                 for zid, geom, (bxmin, bymin, bxmax, bymax) in zs:
-                    if txmin > bxmax or txmax < bxmin or tymin > bymax or tymax < bymin:
+                    hit = np.nonzero(
+                        (txmin <= bxmax) & (txmax >= bxmin) & (tymin <= bymax) & (tymax >= bymin)
+                    )[0]
+                    if len(hit) == 0:
                         continue
-                    m = points_in_geometry(x, y, geom) & valid
-                    if not m.any():
+                    m = points_in_geometry(X[hit].ravel(), Y[hit].ravel(), geom).reshape(len(hit), -1)
+                    m &= valid[hit]
+                    cnt = m.sum(axis=1)
+                    keep = np.nonzero(cnt > 0)[0]
+                    if len(keep) == 0:
                         continue
-                    vals = arr[m]
-                    recs.append(
-                        (
-                            tr,
-                            tc,
-                            zid,
-                            int(len(vals)),
-                            float(vals.sum()),
-                            float((vals * vals).sum()),
-                            float(vals.min()),
-                            float(vals.max()),
+                    Vh = V[hit]
+                    s = np.where(m, Vh, 0.0).sum(axis=1)
+                    s2 = np.where(m, Vh * Vh, 0.0).sum(axis=1)
+                    mn = np.where(m, Vh, np.inf).min(axis=1)
+                    mx = np.where(m, Vh, -np.inf).max(axis=1)
+                    for k in keep:
+                        gi = sel[hit[k]]
+                        recs.append(
+                            (
+                                int(trs[gi]),
+                                int(tcs[gi]),
+                                zid,
+                                int(cnt[k]),
+                                float(s[k]),
+                                float(s2[k]),
+                                float(mn[k]),
+                                float(mx[k]),
+                            )
                         )
-                    )
             yield pd.DataFrame(
                 recs, columns=["tile_row", "tile_col", "zone_id", "cnt", "s", "s2", "mn", "mx"]
             )

@@ -728,6 +728,42 @@ FROM cells, mm
 """
 
 
+def _q_rasterize_boxes(spark, sf_dir):
+    """rasterize_gdf over three disjoint boxes: full meta inference + burn path."""
+    import pandas as _pd
+
+    from rastr_spark.operators.rasterize import rasterize_gdf
+
+    gdf = _pd.DataFrame(
+        {
+            "geometry": [
+                Geometry.box(10.0, 10.0, 100.0, 80.0),
+                Geometry.box(150.0, 20.0, 240.0, 90.0),
+                Geometry.box(60.0, 120.0, 200.0, 180.0),
+            ],
+            "value": [1.0, 2.0, 3.0],
+        }
+    )
+    meta = RasterMeta(10.0, "EPSG:2193", Affine(10, 0, 0, 0, -10, 1), 1, 1, tile_size=8)
+    (rf,) = rasterize_gdf(spark, gdf, raster_meta=meta, target_cols=["value"])
+    return rf.cells(drop_nan=True)
+
+
+_ORACLE_RASTERIZE = """
+WITH grid AS (SELECT t1.r AS row, t2.c AS col FROM range(19) t1(r), range(25) t2(c)),
+cent AS (SELECT row, col, (col*10 + 5.0)::double AS x, (190.0 - row*10 - 5.0)::double AS y FROM grid)
+SELECT row, col,
+       CASE WHEN x > 10 AND x < 100 AND y > 10 AND y < 80 THEN 1.0
+            WHEN x > 150 AND x < 240 AND y > 20 AND y < 90 THEN 2.0
+            WHEN x > 60 AND x < 200 AND y > 120 AND y < 180 THEN 3.0
+       END AS value
+FROM cent
+WHERE (x > 10 AND x < 100 AND y > 10 AND y < 80)
+   OR (x > 150 AND x < 240 AND y > 20 AND y < 90)
+   OR (x > 60 AND x < 200 AND y > 120 AND y < 180)
+"""
+
+
 # -- rows-only queries (no SQL-expressible oracle) ---------------------------
 
 def _q_flagship(spark, sf_dir):
@@ -834,6 +870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_distance_to_box": _q_distance,
         "raster_taper_border": _q_taper,
         "raster_normalize_clamp": _q_normalize,
+        "raster_rasterize_boxes": _q_rasterize_boxes,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         "dedup_minhash_lsh": _q_minhash_lsh,
@@ -872,6 +909,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_distance_to_box": _ORACLE_DISTANCE,
         "raster_taper_border": _ORACLE_TAPER,
         "raster_normalize_clamp": _ORACLE_NORMALIZE,
+        "raster_rasterize_boxes": _ORACLE_RASTERIZE,
         "dedup_exact": _ORACLE_DEDUP_EXACT,
         "dedup_ngram_jaccard": _ORACLE_JACCARD,
         "dedup_minhash_lsh": _minhash_oracle(),

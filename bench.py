@@ -33,7 +33,7 @@ from rastr_spark.tiles import RasterFrame
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "200000"))
+N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "2000000"))
 
 # bench raster: 4096×4096 cells (FIXTURES.md §6). Tile size 64 → 64×64 = 4096
 # tiles of 4 k cells (32 KB): the PIP kernel's working set stays L2-resident, so
@@ -135,6 +135,10 @@ def main():
     n_docs = N_DOCS
     zones = bench_zones()
 
+    # warmup with the identical query (codegen/JIT/python-worker spin-up are
+    # one-time session costs), then measure steady-state — same protocol as
+    # scripts/scaling_run.py
+    doc_zonal_stats(docs, rf, zones, salt_threshold=20000).count()
     t_flagship, _ = timed(lambda: doc_zonal_stats(docs, rf, zones, salt_threshold=20000).count())
     results["flagship_doc_zonal"] = round(t_flagship, 3)
     docs_per_sec = n_docs / t_flagship

@@ -280,49 +280,16 @@ def zonal_stats(rf: RasterFrame, zones: Sequence[tuple[str, Geometry]]) -> DataF
     """NaN-ignoring (count, sum, mean, std, min, max) per polygon zone.
 
     Reference form: ``clip(polygon)`` → whole-raster stats composition
-    (src/rastr/raster.py:1512-1552 + 919-985) — here fused into ONE pass:
-    each tile computes masked partials for every bbox-overlapping zone
-    (broadcast zone list), then one tiny groupBy(zone) finalizes. No
-    intermediate masked raster is materialized, and the shuffle carries only
-    n_tiles × n_overlapping_zones partial rows.
+    (src/rastr/raster.py:1512-1552 + 919-985) — here fused into ONE pass over
+    the batched (tile × zone) PIP partial kernel (plans.flagship), then a tiny
+    groupBy(zone) finalize. No intermediate masked raster is materialized; the
+    shuffle carries only n_tiles × n_overlapping_zones partial rows.
     """
-    meta = rf.meta
-    zone_rows = [(zid, g.to_row(), g.bbox()) for zid, g in zones]
     for zid, g in zones:
         _require_polygonal(g, "zonal_stats")
+    from ..plans.flagship import tile_zone_partials
 
-    def partials(pdf_iter):
-        zs = [(zid, Geometry.from_row(gr), bb) for zid, gr, bb in zone_rows]
-        for pdf in pdf_iter:
-            recs = []
-            for v, tr, tc in zip(pdf["values"], pdf["tile_row"], pdf["tile_col"]):
-                x, y, th, tw = _tile_centres(meta, int(tr), int(tc))
-                txmin, txmax = x.min(), x.max()
-                tymin, tymax = y.min(), y.max()
-                arr = np.asarray(v, dtype=np.float64)
-                valid = ~np.isnan(arr)
-                if not valid.any():
-                    continue
-                for zid, geom, (bxmin, bymin, bxmax, bymax) in zs:
-                    if txmin > bxmax or txmax < bxmin or tymin > bymax or tymax < bymin:
-                        continue
-                    m = points_in_geometry(x, y, geom) & valid
-                    if not m.any():
-                        continue
-                    vals = arr[m]
-                    recs.append(
-                        (
-                            zid,
-                            int(len(vals)),
-                            float(vals.sum()),
-                            float((vals * vals).sum()),
-                            float(vals.min()),
-                            float(vals.max()),
-                        )
-                    )
-            yield pd.DataFrame(recs, columns=["zone_id", "cnt", "s", "s2", "mn", "mx"])
-
-    part = rf.df.select("tile_row", "tile_col", "values").mapInPandas(partials, ZONAL_PARTIAL_SCHEMA)
+    part = tile_zone_partials(rf, zones)
     return (
         part.groupBy("zone_id")
         .agg(
@@ -422,6 +389,42 @@ def knn_join(
     return results.withColumnRenamed("_qid", query_id).withColumnRenamed("_qx", qx + "_q").withColumnRenamed(
         "_qy", qy + "_q"
     ).withColumnRenamed("_px", px + "_nn").withColumnRenamed("_py", py + "_nn")
+
+
+def infer_cell_size_df(points: DataFrame, *, x: str = "x", y: str = "y") -> float:
+    """Distributed reference heuristic (src/rastr/meta.py:166-187): half the 5th
+    percentile of nearest-neighbour distances, zero-distance duplicates excluded.
+
+    The NN search is the kNN ring-expansion join with k=2 (self + nearest) over a
+    grid bucketing sized from the data bbox — no KDTree, no driver collect of the
+    point set; only the final percentile reduces.
+    """
+    ext = points.agg(
+        F.min(x).alias("x0"), F.max(x).alias("x1"), F.min(y).alias("y0"), F.max(y).alias("y1"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    if ext["n"] < 2:
+        raise ValueError("need at least 2 points to infer cell size")
+    span = max(ext["x1"] - ext["x0"], ext["y1"] - ext["y0"]) or 1.0
+    bucket = span / max(1.0, float(np.sqrt(ext["n"])))
+    w = Window.partitionBy(x, y).orderBy(F.lit(1))
+    q = points.select(
+        F.concat_ws("_", F.col(x).cast("string"), F.col(y).cast("string"),
+                    F.row_number().over(w).cast("string")).alias("query_id"),
+        F.col(x), F.col(y),
+    )
+    nn = knn_join(points, q, 2, cell_size=bucket, max_rounds=8)
+    # k=2 gives [self(0), nearest]; drop zero distances (coincident duplicates)
+    row = (
+        nn.filter(F.col("distance") > 0)
+        .groupBy("query_id")
+        .agg(F.min("distance").alias("d"))
+        .agg(F.percentile(F.col("d"), F.lit(0.05)).alias("p"))
+        .collect()[0]
+    )
+    if row["p"] is None:
+        raise ValueError("all points are coincident; cannot infer cell size")
+    return float(row["p"]) / 2.0
 
 
 # ---------------------------------------------------------------------------

@@ -199,3 +199,58 @@ def flagship_query(
     salt_threshold: int | None = 50_000,
 ) -> DataFrame:
     return doc_zonal_stats(docs, rf, zones, salt_threshold=salt_threshold)
+
+
+def flagship_checkpointed(
+    spark: SparkSession,
+    docs: DataFrame,
+    rf: RasterFrame,
+    zones: Sequence[tuple[str, Geometry]],
+    *,
+    ckpt_dir: str,
+    input_fingerprint: str,
+    salt_threshold: int | None = 50_000,
+):
+    """Flagship with per-stage checkpoint fences (north rule: "resumable mid-join").
+
+    Three fenced stages, each a manifest-committed parquet table with
+    per-partition lineage/metrics (sources.checkpoint):
+
+      1. ``media_refs``          — doc table → resolved tile refs
+      2. ``tile_zone_partials``  — the PIP kernel pass
+      3. ``doc_zonal``           — the join + final aggregation
+
+    A failure between stages resumes from the last COMMITTED manifest: the join
+    stage rebuilds from checkpointed refs + partials without re-running either
+    upstream pass. Returns (result DataFrame, [StageResult × 3]).
+    """
+    from ..sources.checkpoint import CheckpointManager
+
+    cm = CheckpointManager(ckpt_dir)
+    refs_stage = cm.run_stage(
+        spark,
+        "media_refs",
+        input_fingerprint,
+        lambda: media_refs(docs).filter(F.col("raster_id") == rf.raster_id),
+    )
+    partials_stage = cm.run_stage(
+        spark,
+        "tile_zone_partials",
+        input_fingerprint,
+        lambda: tile_zone_partials(rf, zones),
+    )
+
+    def build_final() -> DataFrame:
+        refs = refs_stage.df
+        partials = partials_stage.df
+        joined = refs.join(partials, ["tile_row", "tile_col"], "inner")
+        return joined.groupBy("zone_id", "doc_id").agg(
+            F.sum("cnt").alias("cell_count"),
+            F.sum("s").alias("sum"),
+            F.min("mn").alias("min"),
+            F.max("mx").alias("max"),
+            (F.sum("s") / F.sum("cnt")).alias("mean"),
+        )
+
+    final_stage = cm.run_stage(spark, "doc_zonal", input_fingerprint, build_final)
+    return final_stage.df, [refs_stage, partials_stage, final_stage]

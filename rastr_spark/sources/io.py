@@ -44,6 +44,31 @@ def read_raster(spark: SparkSession, path: str | Path) -> RasterFrame:
     return RasterFrame(df, meta, meta_row["raster_id"])
 
 
+def read_raster_mosaic(spark: SparkSession, directory: str | Path, *, glob: str = "*") -> RasterFrame:
+    """Glob a directory of persisted rasters, sort by stem, merge first-wins
+    (reference ``read_raster_mosaic_inmem`` src/rastr/io_.py:77-135: alphabetical
+    stem order is the precedence order)."""
+    from ..operators.joins import mosaic
+
+    paths = sorted(
+        (p for p in Path(directory).glob(glob) if (p / "meta.json").exists()),
+        key=lambda p: p.stem,
+    )
+    if not paths:
+        raise FileNotFoundError(f"no rasters matching {glob!r} under {directory}")
+    return mosaic([read_raster(spark, p) for p in paths])
+
+
+def to_file(rf: RasterFrame, path: str | Path) -> None:
+    """Extension-dispatched writer (reference ``Raster.to_file`` raster.py:819-830):
+    ``.grd`` → GSAG ASCII; anything else → parquet tile store directory."""
+    path = Path(path)
+    if path.suffix.lower() == ".grd":
+        write_gsag(rf, path)
+    else:
+        write_raster(rf, path)
+
+
 def write_gsag(rf: RasterFrame, path: str | Path) -> None:
     """Surfer ASCII grid (reference io_.py GSAG branch). Collects — driver-side
     format for small rasters only (the reference is single-node anyway)."""

@@ -147,3 +147,95 @@ class TestPackaging:
             names = z.namelist()
         assert "rastr_spark/__init__.py" in names
         assert any("operators/joins.py" in n for n in names)
+
+
+class TestCheckpointedFlagship:
+    def test_resume_mid_join(self, spark, tmp_path):
+        import numpy as np
+        from rastr_spark.geometry import Geometry
+        from rastr_spark.meta import Affine, RasterMeta
+        from rastr_spark.plans.flagship import doc_zonal_stats, flagship_checkpointed
+        from rastr_spark.sources.documents import generate_documents
+        from rastr_spark.sources.checkpoint import CheckpointManager
+        from rastr_spark.tiles import RasterFrame
+
+        meta = RasterMeta(32.0, "EPSG:2193", Affine(32, 0, 0, 0, -32, 512), 16, 16, tile_size=4)
+        rf = RasterFrame.from_numpy(spark, np.tile(np.arange(16.0)[:, None], (1, 16)), meta)
+        docs = generate_documents(spark, 100, seed=42, n_tile_rows=4, n_tile_cols=4)
+        zones = [("all", Geometry.box(0, 0, 512, 512)), ("top", Geometry.box(0, 256, 512, 512))]
+        ckpt = str(tmp_path / "ck")
+
+        out1, stages1 = flagship_checkpointed(
+            spark, docs, rf, zones, ckpt_dir=ckpt, input_fingerprint="fp1"
+        )
+        r1 = {(r["zone_id"], r["doc_id"]): r["sum"] for r in out1.collect()}
+        assert not any(s.resumed for s in stages1)
+        assert all(s.metrics["rows_out"] >= 0 for s in stages1)
+
+        # simulate a failure after the upstream stages: invalidate only the final
+        # join stage → resume recomputes just that stage from checkpointed inputs
+        CheckpointManager(ckpt).invalidate("doc_zonal")
+        out2, stages2 = flagship_checkpointed(
+            spark, docs, rf, zones, ckpt_dir=ckpt, input_fingerprint="fp1"
+        )
+        assert stages2[0].resumed and stages2[1].resumed and not stages2[2].resumed
+        r2 = {(r["zone_id"], r["doc_id"]): r["sum"] for r in out2.collect()}
+        assert r1 == r2
+
+        # matches the non-checkpointed pipeline
+        direct = doc_zonal_stats(docs, rf, zones, salt_threshold=None)
+        r3 = {(r["zone_id"], r["doc_id"]): r["sum"] for r in direct.collect()}
+        assert r1 == r3
+
+
+class TestMosaicIO:
+    def test_read_raster_mosaic_stem_order(self, spark, tmp_path):
+        import numpy as np
+        from rastr_spark.meta import Affine, RasterMeta
+        from rastr_spark.sources.io import read_raster_mosaic, to_file
+        from rastr_spark.tiles import RasterFrame
+
+        meta = RasterMeta(1.0, "EPSG:2193", Affine(1, 0, 0, 0, -1, 2), 2, 2, tile_size=2)
+        a = RasterFrame.from_numpy(spark, np.array([[1.0, np.nan], [3.0, 4.0]]), meta, raster_id="a")
+        b = RasterFrame.from_numpy(spark, np.array([[10.0, 20.0], [30.0, 40.0]]), meta, raster_id="b")
+        to_file(a, tmp_path / "m" / "a_first")
+        to_file(b, tmp_path / "m" / "b_second")
+        out = read_raster_mosaic(spark, tmp_path / "m")
+        arr = out.to_numpy()
+        # stem order: a wins where valid, b fills a's NaN hole
+        np.testing.assert_array_equal(arr, [[1.0, 20.0], [3.0, 4.0]])
+
+    def test_to_file_grd_dispatch(self, spark, tmp_path):
+        import numpy as np
+        from rastr_spark.meta import Affine, RasterMeta
+        from rastr_spark.sources.io import read_gsag, to_file
+        from rastr_spark.tiles import RasterFrame
+
+        meta = RasterMeta(1.0, "EPSG:2193", Affine(1, 0, 0, 0, -1, 2), 2, 2, tile_size=2)
+        rf = RasterFrame.from_numpy(spark, np.array([[1.0, 2.0], [3.0, 4.0]]), meta)
+        to_file(rf, tmp_path / "x.grd")
+        back = read_gsag(spark, tmp_path / "x.grd", tile_size=2)
+        np.testing.assert_allclose(back.to_numpy(), [[1, 2], [3, 4]], rtol=1e-5)
+
+
+class TestInferCellSizeDF:
+    def test_matches_driver_heuristic(self, spark):
+        import numpy as np
+        from rastr_spark.meta import infer_cell_size
+        from rastr_spark.operators.joins import infer_cell_size_df
+
+        rng = np.random.RandomState(11)
+        pts = rng.rand(60, 2) * 100
+        expected = infer_cell_size(pts[:, 0], pts[:, 1])
+        df = spark.createDataFrame([(float(a), float(b)) for a, b in pts], "x double, y double")
+        got = infer_cell_size_df(df)
+        assert got == pytest.approx(expected, rel=1e-9)
+
+    def test_duplicates_excluded(self, spark):
+        from rastr_spark.operators.joins import infer_cell_size_df
+
+        df = spark.createDataFrame(
+            [(0.0, 0.0), (0.0, 0.0), (3.0, 0.0), (6.0, 0.0)], "x double, y double"
+        )
+        got = infer_cell_size_df(df)
+        assert got == pytest.approx(1.5)  # NN distances [3,3,3] → p5 = 3 → /2

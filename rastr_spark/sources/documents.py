@@ -134,6 +134,32 @@ def media_refs(docs: DataFrame) -> DataFrame:
     )
 
 
+def text_span_geometries(docs: DataFrame) -> DataFrame:
+    """Geometry ingestion from text spans (SURVEY §2.1: CAD-read replacement).
+
+    Decodes the ``kind;coords;rings;parts`` text payload to (doc_id, pos, kind,
+    bbox) entirely JVM-side: split + transform/cast + aggregate for the bbox —
+    the full flat-coords struct is only materialized in kernels that need it.
+    """
+    s = explode_spans(docs).filter(F.col("kind") == "text")
+    parts = F.split("text", ";")
+    coords = F.transform(F.split(parts.getItem(1), ","), lambda v: v.cast("double"))
+    n = F.size(coords)
+    idx = F.sequence(F.lit(0), (n / 2).cast("int") - 1)  # sequence needs integral bounds
+    xs = F.transform(idx, lambda i: F.element_at(coords, i * 2 + 1))
+    ys = F.transform(idx, lambda i: F.element_at(coords, i * 2 + 2))
+    return s.select(
+        "doc_id",
+        "pos",
+        parts.getItem(0).alias("geom_kind"),
+        F.array_min(xs).alias("xmin"),
+        F.array_min(ys).alias("ymin"),
+        F.array_max(xs).alias("xmax"),
+        F.array_max(ys).alias("ymax"),
+        F.col("text").alias("geom_encoded"),
+    )
+
+
 def span_fingerprint(docs: DataFrame) -> DataFrame:
     """Per-doc order-sensitive hash of (kind, text, media_ref, order).
 

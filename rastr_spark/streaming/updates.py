@@ -56,6 +56,73 @@ def windowed_tile_stats(
     )
 
 
+def running_tile_state(
+    updates: DataFrame,
+    *,
+    tile_size: int = 256,
+    policy: str = "last",
+):
+    """Custom stateful operator: a continuously-maintained per-tile cell map.
+
+    ``applyInPandasWithState`` keyed by tile: state = the tile's sparse
+    {cell → value} dict, merged with each micro-batch (policy 'last' = newest
+    update wins by timestamp, 'first' = first writer wins — the streaming twin of
+    the mosaic precedence rule). Emits one row per touched tile per batch with the
+    tile's current non-NaN cell count and sum — a live, resumable (state-store
+    checkpointed) version of the batch tile table.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "tile_row INT, tile_col INT, n_cells BIGINT, sum_value DOUBLE"
+    state_schema = "rows ARRAY<INT>, cols ARRAY<INT>, vals ARRAY<DOUBLE>, ts ARRAY<DOUBLE>"
+
+    def update_fn(key, pdf_iter, state: GroupState):
+        tr, tc = int(key[0]), int(key[1])
+        if state.exists:
+            s_rows, s_cols, s_vals, s_ts = state.get
+            cells = {
+                (r, c): (v, t)
+                for r, c, v, t in zip(s_rows, s_cols, s_vals, s_ts)
+            }
+        else:
+            cells = {}
+        for pdf in pdf_iter:
+            ts = pdf["ts"].astype("int64").to_numpy() / 1e9
+            for r, c, v, t in zip(pdf["row"], pdf["col"], pdf["value"], ts):
+                if v != v:  # NaN update = no-op
+                    continue
+                k = (int(r), int(c))
+                if k not in cells:
+                    cells[k] = (float(v), float(t))
+                elif policy == "last" and t >= cells[k][1]:
+                    cells[k] = (float(v), float(t))
+                # policy == "first": keep existing
+        state.update(
+            (
+                [k[0] for k in cells],
+                [k[1] for k in cells],
+                [v[0] for v in cells.values()],
+                [v[1] for v in cells.values()],
+            )
+        )
+        total = sum(v[0] for v in cells.values())
+        yield pd.DataFrame(
+            {"tile_row": [tr], "tile_col": [tc], "n_cells": [len(cells)], "sum_value": [total]}
+        )
+
+    # applyInPandasWithState resolves grouping keys by column name — materialize
+    # the tile key as real columns first
+    keyed = (
+        updates.withColumn("tile_row", (F.col("row") / tile_size).cast("int"))
+        .withColumn("tile_col", (F.col("col") / tile_size).cast("int"))
+        .groupBy("tile_row", "tile_col")
+    )
+    return keyed.applyInPandasWithState(
+        update_fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def run_to_memory(stats: DataFrame, query_name: str):
     """Drain the stream with availableNow into an in-memory table (tests/demos)."""
     return (

@@ -239,3 +239,44 @@ class TestInferCellSizeDF:
         )
         got = infer_cell_size_df(df)
         assert got == pytest.approx(1.5)  # NN distances [3,3,3] → p5 = 3 → /2
+
+
+class TestStatefulStreaming:
+    def test_running_tile_state_across_batches(self, spark, tmp_path):
+        from rastr_spark.streaming.updates import read_update_stream, running_tile_state
+
+        src = tmp_path / "upd"
+        src.mkdir()
+        b1 = [("2024-01-01 00:00:10", 0, 0, 1.0), ("2024-01-01 00:00:20", 0, 1, 3.0)]
+        b2 = [("2024-01-01 00:01:10", 0, 0, 7.0), ("2024-01-01 00:01:20", 1, 1, 2.0),
+              ("2024-01-01 00:01:30", 2, 2, float("nan"))]
+        mk = lambda rows, name: spark.createDataFrame(
+            rows, "ts string, row int, col int, value double"
+        ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(str(src / name))
+
+        got = []
+
+        def drain():
+            # foreachBatch sink supports checkpoint recovery (memory sink does not)
+            q = (
+                running_tile_state(
+                    read_update_stream(spark, str(src / "*")), tile_size=256, policy="last"
+                )
+                .writeStream.foreachBatch(lambda df, _id: got.extend(df.collect()))
+                .outputMode("update")
+                .option("checkpointLocation", str(tmp_path / "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        mk(b1, "b1")
+        drain()
+        assert len(got) == 1 and got[0]["n_cells"] == 2 and got[0]["sum_value"] == 4.0
+        got.clear()
+        # second incremental drain RESUMES from the state-store checkpoint:
+        # (0,0) overwritten 1->7 (policy last), new cell (1,1); NaN update ignored
+        mk(b2, "b2")
+        drain()
+        assert len(got) == 1  # only the touched tile emitted
+        assert got[0]["n_cells"] == 3 and got[0]["sum_value"] == 12.0  # 7 + 3 + 2

@@ -373,13 +373,16 @@ def knn_join(
         )
         w = Window.partitionBy("_qid").orderBy("distance", "_px", "_py")
         topk = cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
-        # resolved: k found and kth distance within guaranteed radius
+        # resolved: k found and kth distance STRICTLY within the guaranteed radius —
+        # an unseen point outside the ring is at Euclid ≥ radius·cell_size, so a
+        # tie at exactly that distance could still lose to an unseen point under
+        # the (distance, x, y) tie-break; strict < forces one more ring instead
         guaranteed = radius * cell_size
         per_q = topk.groupBy("_qid").agg(F.count("*").alias("n"), F.max("distance").alias("dk"))
         if round_i == max_rounds - 1:
             resolved_ids = per_q.select("_qid")
         else:
-            resolved_ids = per_q.filter((F.col("n") >= k) & (F.col("dk") <= guaranteed)).select("_qid")
+            resolved_ids = per_q.filter((F.col("n") >= k) & (F.col("dk") < guaranteed)).select("_qid")
         batch = topk.join(resolved_ids, "_qid", "left_semi")
         results = batch if results is None else results.unionByName(batch)
         remaining = remaining.join(resolved_ids, "_qid", "left_anti")

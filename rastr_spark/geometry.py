@@ -118,9 +118,9 @@ class Geometry:
     @staticmethod
     def decode(s: str) -> "Geometry":
         kind, c, r, p = s.split(";")
-        coords = np.fromstring(c, sep=",") if c else np.empty(0)
-        ring = np.fromstring(r, sep=",").astype(np.int64)
-        part = np.fromstring(p, sep=",").astype(np.int64)
+        coords = np.array([float(v) for v in c.split(",")]) if c else np.empty(0)
+        ring = np.array([int(v) for v in r.split(",")], dtype=np.int64)
+        part = np.array([int(v) for v in p.split(",")], dtype=np.int64)
         return Geometry(kind, coords, ring, part)
 
     def to_row(self) -> dict:

@@ -105,19 +105,25 @@ def rf_sum(rf: RasterFrame) -> float:
     return rf_stats(rf)["sum"]
 
 
-def rf_quantile(rf: RasterFrame, q: float) -> float:
-    """Exact np.nanquantile (linear interpolation). Distributed exact percentile
-    over exploded non-NaN cells; at the 10^12 regime swap for a 2-pass selection or
-    approx_percentile — exactness is the reference contract at test scale
-    (SURVEY.md §7 hard-part 6)."""
-    if not 0.0 <= q <= 1.0:
+def rf_quantile(rf: RasterFrame, q, *, exact: bool = True, accuracy: int = 10000):
+    """np.nanquantile semantics (linear interpolation), scalar or list of qs.
+
+    exact=True (default, the reference contract — SURVEY.md §7 hard-part 6) uses
+    Spark's exact distributed ``percentile`` over exploded non-NaN cells.
+    exact=False is the 10^12-cell scale path: ``approx_percentile`` (KLL-style
+    sketch, mergeable, single pass, bounded memory) with tunable ``accuracy``.
+    """
+    qs = [float(v) for v in (q if isinstance(q, (list, tuple)) else [q])]
+    if any(not 0.0 <= v <= 1.0 for v in qs):
         raise ValueError("q must be in [0, 1]")
-    row = (
-        rf.cells(drop_nan=True)
-        .agg(F.percentile(F.col("value"), F.lit(q)).alias("qv"))
-        .collect()[0]
-    )
-    return float(row["qv"]) if row["qv"] is not None else float("nan")
+    q_arr = F.array(*[F.lit(v) for v in qs])
+    if exact:
+        agg = F.percentile(F.col("value"), q_arr).alias("qv")
+    else:
+        agg = F.approx_percentile(F.col("value"), q_arr, F.lit(accuracy)).alias("qv")
+    row = rf.cells(drop_nan=True).agg(agg).collect()[0]
+    vals = [float(v) if v is not None else float("nan") for v in (row["qv"] or [None] * len(qs))]
+    return vals if isinstance(q, (list, tuple)) else vals[0]
 
 
 def rf_median(rf: RasterFrame) -> float:

@@ -104,3 +104,40 @@ class TestTextSpanGeometries:
         g = text_span_geometries(docs)
         # every (doc_id, pos) pair unique — geometry rows trace back to spans
         assert g.count() == g.select("doc_id", "pos").distinct().count()
+
+
+class TestSaltingSpreadsHotKeys:
+    def test_hot_tile_gets_multiple_salts(self, spark):
+        from rastr_spark.plans.flagship import media_refs
+        from pyspark.sql import functions as F
+
+        # 500 docs all referencing ONE tile → ultra-hot key
+        docs = spark.createDataFrame(
+            [(f"d{i}", [("media", None, "li/0/0", 0)]) for i in range(500)],
+            "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+        )
+        refs = media_refs(docs)
+        counts = refs.groupBy("tile_row", "tile_col").count()
+        hot = counts.filter(F.col("count") > 100).select(
+            "tile_row", "tile_col", F.ceil(F.col("count") / 100).cast("int").alias("n_salt")
+        )
+        salted = refs.join(F.broadcast(hot), ["tile_row", "tile_col"], "left").withColumn(
+            "salt", F.when(F.col("n_salt").isNotNull(), F.pmod(F.xxhash64("doc_id"), F.col("n_salt"))).otherwise(F.lit(0))
+        )
+        n_distinct = salted.select("salt").distinct().count()
+        assert n_distinct == 5  # ceil(500/100): hot key fans out across 5 sub-keys
+
+
+class TestQuantileVariants:
+    def test_multi_q_and_approx(self, spark):
+        from rastr_spark.meta import Affine, RasterMeta
+        from rastr_spark.operators.aggregates import rf_quantile
+        from rastr_spark.tiles import RasterFrame
+
+        arr = np.arange(1.0, 101.0).reshape(10, 10)
+        meta = RasterMeta(1.0, "EPSG:2193", Affine(1, 0, 0, 0, -1, 10), 10, 10, tile_size=4)
+        rf = RasterFrame.from_numpy(spark, arr, meta)
+        exact = rf_quantile(rf, [0.25, 0.5, 0.9])
+        np.testing.assert_allclose(exact, np.quantile(arr, [0.25, 0.5, 0.9]))
+        approx = rf_quantile(rf, [0.25, 0.5, 0.9], exact=False)
+        np.testing.assert_allclose(approx, exact, rtol=0.05)

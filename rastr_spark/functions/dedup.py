@@ -109,11 +109,16 @@ def minhash_lsh_buckets(
 ) -> DataFrame:
     """(band, bucket, id) rows: docs sharing a bucket are near-dup candidates."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(F.col(text_col), n=n, num_hashes=num_hashes)
-    d = (
-        docs.filter(F.size(word_ngrams(F.col(text_col), n)) > 0)  # docs with <n tokens have no signature
-        .select(F.col(id_col).alias("id"), sig.alias("sig"))
-    )
+    # materialize grams ONCE as a column — inlining word_ngrams into each of the
+    # num_hashes min-hash expressions would re-tokenize the document per hash fn
+    grams_df = docs.select(
+        F.col(id_col).alias("id"), word_ngrams(F.col(text_col), n).alias("grams")
+    ).filter(F.size("grams") > 0)
+
+    def _min_hash(i: int):
+        return F.array_min(F.transform("grams", lambda g: F.md5(F.concat(g, F.lit(f":{i}")))))
+
+    d = grams_df.select("id", F.array(*[_min_hash(i) for i in range(num_hashes)]).alias("sig"))
     bands_arr = F.array(
         *[
             F.struct(

@@ -161,20 +161,26 @@ def main():
 
     shutil.rmtree(docs_dir, ignore_errors=True)
     total = round(sum(results.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "pip-join+zonal-stats end-to-end suite wall time",
-                "value": total,
-                "unit": "sec",
-                "queries": results,
-                "sf": SF_DIR,
-                "cpus": CPUS,
-                "n_docs": n_docs,
-                "docs_per_sec": round(docs_per_sec, 1),
-            }
-        )
-    )
+    out = {
+        "metric": "pip-join+zonal-stats end-to-end suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": results,
+        "sf": SF_DIR,
+        "cpus": CPUS,
+        "n_docs": n_docs,
+        "docs_per_sec": round(docs_per_sec, 1),
+    }
+    scaling_file = Path(__file__).resolve().parent / "BENCH_SCALING.json"
+    if scaling_file.exists():
+        s = json.loads(scaling_file.read_text())
+        out["scaling"] = {
+            "efficiency": s.get("scaling_efficiency"),
+            "pass": s.get("pass"),
+            "levels": [r.get("cpus") for r in s.get("runs", [])],
+            "docs_per_sec": [round(r.get("docs_per_sec", 0), 1) for r in s.get("runs", [])],
+        }
+    print(json.dumps(out))
     spark.stop()
 
 

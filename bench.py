@@ -33,7 +33,7 @@ from rastr_spark.tiles import RasterFrame
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "2000000"))
+N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "1000000"))
 
 # bench raster: 4096×4096 cells (FIXTURES.md §6). Tile size 64 → 64×64 = 4096
 # tiles of 4 k cells (32 KB): the PIP kernel's working set stays L2-resident, so

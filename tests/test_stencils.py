@@ -282,3 +282,41 @@ class TestDilateProperties:
         assert np.nansum(out) >= np.nansum(arr) - 1e-9
         if np.isfinite(arr).any():
             assert np.nanmin(out) >= np.nanmin(arr) - 1e-9
+
+
+class TestReferenceGoldensExact:
+    def test_taper_border_reference_example(self, spark):
+        """Exact mirror of reference test_raster.py:2896-2932: 5×5 1..25, cell 2.0,
+        width 2.5 → border 0, ring-1 scaled by 1/f (f = 1.25), centre untouched."""
+        arr = np.arange(1.0, 26.0).reshape(5, 5)
+        rf = make_rf(spark, arr, tile_size=3, cell=2.0)
+        f = 2.5 / 2.0
+        out = rf.taper_border(2.5).to_numpy()
+        expected = np.array(
+            [
+                [0, 0, 0, 0, 0],
+                [0, 7 / f, 8 / f, 9 / f, 0],
+                [0, 12 / f, 13, 14 / f, 0],
+                [0, 17 / f, 18 / f, 19 / f, 0],
+                [0, 0, 0, 0, 0],
+            ]
+        )
+        np.testing.assert_allclose(out, expected)
+
+    def test_extrapolate_reference_fillna(self, spark):
+        """Exact mirror of reference test_raster.py:2293-2308: [[nan,2],[3,4]] →
+        [[2,2],[3,4]] (tie at distance 1 → row-major lowest index donor (0,1))."""
+        arr = np.array([[np.nan, 2.0], [3.0, 4.0]])
+        out = make_rf(spark, arr, tile_size=2).extrapolate(method="nearest").to_numpy()
+        np.testing.assert_array_equal(out, [[2.0, 2.0], [3.0, 4.0]])
+
+    def test_extrapolate_no_nan_identity(self, spark):
+        arr = np.array([[1.0, 2.0], [3.0, 4.0]])
+        out = make_rf(spark, arr, tile_size=2).extrapolate().to_numpy()
+        np.testing.assert_array_equal(out, arr)
+
+    def test_extrapolate_preserves_dtype_float16(self, spark):
+        arr = np.array([[np.nan, 2], [3, 4]], dtype=np.float16)
+        out = make_rf(spark, arr, tile_size=2, dtype=np.float16).extrapolate()
+        assert out.meta.dtype == "float16"
+        assert out.to_numpy().dtype == np.float16

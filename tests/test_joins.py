@@ -212,3 +212,32 @@ class TestSamplePolymorphism:
 
         with pytest.raises(NotImplementedError):
             grid4.sample(Geometry.linestring([(0, 0), (1, 1)]))
+
+
+class TestMosaicReferenceGoldens:
+    def test_overlapping_first_wins_exact(self, spark):
+        """Exact mirror of reference tests/rastr/test_io.py:249-263: fully
+        overlapping rasters — the first (by order/stem) wins everywhere."""
+        meta = RasterMeta(1.0, "EPSG:2193", Affine(1, 0, 0, 0, -1, 2), 2, 2, tile_size=2)
+        first = RasterFrame.from_numpy(spark, np.ones((2, 2)), meta, raster_id="a_first")
+        second = RasterFrame.from_numpy(spark, np.full((2, 2), 2.0), meta, raster_id="z_second")
+        out = mosaic([first, second])
+        np.testing.assert_allclose(out.to_numpy(), np.ones((2, 2)))
+
+    def test_vertical_stack(self, spark):
+        """Mirror of test_io.py vertical-stack case: two abutting rasters merge to
+        a (4, 2) grid anchored at the top raster's transform."""
+        t_top = Affine(1, 0, 0, 0, -1, 4)
+        t_bot = Affine(1, 0, 0, 0, -1, 2)
+        top = RasterFrame.from_numpy(
+            spark, np.array([[1.0, 2.0], [3.0, 4.0]]),
+            RasterMeta(1.0, "EPSG:2193", t_top, 2, 2, tile_size=2), raster_id="t",
+        )
+        bottom = RasterFrame.from_numpy(
+            spark, np.array([[5.0, 6.0], [7.0, 8.0]]),
+            RasterMeta(1.0, "EPSG:2193", t_bot, 2, 2, tile_size=2), raster_id="b",
+        )
+        out = mosaic([top, bottom])
+        assert out.meta.shape == (4, 2)
+        assert out.meta.transform == t_top
+        np.testing.assert_allclose(out.to_numpy(), [[1, 2], [3, 4], [5, 6], [7, 8]])

@@ -142,6 +142,59 @@ def _close_ring(r: np.ndarray) -> np.ndarray:
     return r
 
 
+def wkb_to_geometry(buf: bytes) -> Geometry:
+    """Minimal WKB decoder (Point/LineString/Polygon + Multi variants, 2-D/2.5-D) —
+    enough to ingest GeoParquet geometry columns without shapely/geopandas."""
+    import struct
+
+    def parse(b, off):
+        bo = "<" if b[off] == 1 else ">"
+        (tp,) = struct.unpack_from(bo + "I", b, off + 1)
+        off += 5
+        has_z = bool(tp & 0x80000000) or (1000 <= (tp & 0xFFFF) < 2000)
+        base = tp & 0xFF
+        dim = 3 if has_z else 2
+
+        def read_pts(o, n):
+            vals = struct.unpack_from(bo + "d" * (n * dim), b, o)
+            xy = np.array(vals, dtype=np.float64).reshape(n, dim)[:, :2]
+            return xy, o + 8 * n * dim
+
+        if base == 1:  # point
+            xy, off = read_pts(off, 1)
+            return Geometry.point(xy[0, 0], xy[0, 1]), off
+        if base == 2:  # linestring
+            (n,) = struct.unpack_from(bo + "I", b, off)
+            xy, off = read_pts(off + 4, n)
+            return Geometry.linestring(xy), off
+        if base == 3:  # polygon
+            (nr,) = struct.unpack_from(bo + "I", b, off)
+            off += 4
+            rings = []
+            for _ in range(nr):
+                (n,) = struct.unpack_from(bo + "I", b, off)
+                xy, off = read_pts(off + 4, n)
+                rings.append(xy)
+            return Geometry.polygon(rings[0], rings[1:]), off
+        if base in (4, 5, 6):  # multi point/line/polygon
+            (np_,) = struct.unpack_from(bo + "I", b, off)
+            off += 4
+            parts = []
+            for _ in range(np_):
+                g, off = parse(b, off)
+                parts.append(g)
+            if base == 6:
+                return Geometry.multipolygon(parts), off
+            kind = "multipoint" if base == 4 else "multilinestring"
+            offsets = np.cumsum([0] + [len(p.xy) for p in parts])
+            coords = np.concatenate([p.coords for p in parts])
+            return Geometry(kind, coords, offsets, np.array([0, len(parts)])), off
+        raise NotImplementedError(f"WKB geometry type {tp} not supported")
+
+    g, _ = parse(bytes(buf), 0)
+    return g
+
+
 # ---------------------------------------------------------------------------
 # Point-in-polygon: vectorized even-odd crossing number.
 # ---------------------------------------------------------------------------

@@ -354,3 +354,47 @@ class TestVectorize:
         rf = RasterFrame.from_numpy(spark, arr, meta)
         gdf = rf.contour([2.5], smoothing=True)
         assert len(gdf) == 1
+
+
+class TestSpeckleRegression:
+    """Real-world regression from the reference's own asset
+    (tests/assets/contour_speckle.parquet; reference test_create.py:2331-2365):
+    all cells in the horseshoe pocket must get ONE identical value — the
+    np.isclose level-snap kills float speckle."""
+
+    def test_float_speckling_asset(self, spark):
+        import duckdb
+
+        from rastr_spark.geometry import wkb_to_geometry
+
+        rows = duckdb.sql(
+            "SELECT Contour, geometry FROM read_parquet("
+            "'/root/reference/tests/assets/contour_speckle.parquet')"
+        ).fetchall()
+        values = [r[0] for r in rows]
+        geoms = [wkb_to_geometry(r[1]) for r in rows]
+        rf = raster_from_contours(
+            spark, values, geoms, crs="EPSG:2193", cell_size=1.0, tile_size=32
+        )
+        arr = rf.to_numpy()
+        gx, gy = rf.get_xy()
+        pocket = gy > 5918541.61
+        vals = arr[pocket]
+        uniq = np.unique(vals[~np.isnan(vals)])
+        assert len(uniq) == 1  # no speckle: one snapped value in the pocket
+
+    def test_segmentization_reference(self, spark):
+        """Mirror of reference test_create.py:2367-2396: long contour lines must be
+        segmentized so the left region interpolates purely from value-10 contours."""
+        long_contour = Geometry.linestring([(0, 0), (0, 100)])
+        protected_point = Geometry.point(1, 50)
+        exposed_contour = Geometry.linestring([(-5, 45), (-5, 55)])
+        rf = raster_from_contours(
+            spark, [10.0, 20.0, 10.0],
+            [long_contour, protected_point, exposed_contour],
+            crs="EPSG:2193", cell_size=1.0, tile_size=32,
+        )
+        arr = rf.to_numpy()
+        gx, gy = rf.get_xy()
+        left = (gx < -1) & ~np.isnan(arr)
+        assert np.all(arr[left] == 10.0)

@@ -168,12 +168,14 @@ def clamp(rf: RasterFrame, a_min: float | None = None, a_max: float | None = Non
     """np.clip semantics (reference src/rastr/raster.py:303-325). NaN passes through."""
 
     def jvm(x: Column) -> Column:
+        # Spark orders NaN above every double, so `x > a_max` is TRUE for NaN
+        # (unlike np.clip, which propagates NaN). Guard explicitly.
         y = x
         if a_min is not None:
             y = F.when(y < F.lit(float(a_min)), F.lit(float(a_min))).otherwise(y)
         if a_max is not None:
             y = F.when(y > F.lit(float(a_max)), F.lit(float(a_max))).otherwise(y)
-        return y
+        return F.when(F.isnan(x), x).otherwise(y)
 
     return _elementwise(rf, jvm, lambda x: np.clip(x, a_min, a_max))
 
@@ -239,7 +241,11 @@ def normalize(rf: RasterFrame, *, vmin: float | None = None, vmax: float | None 
         span = _vmax - _vmin
         return _elementwise(
             rf,
-            lambda x: F.greatest(F.least((x - F.lit(_vmin)) / F.lit(span), F.lit(1.0)), F.lit(0.0)),
+            # F.least(NaN, 1.0) = 1.0 under Spark's NaN-is-largest ordering; np.clip
+            # keeps NaN, so guard the JVM path to match the numpy kernel path.
+            lambda x: F.when(F.isnan(x), x).otherwise(
+                F.greatest(F.least((x - F.lit(_vmin)) / F.lit(span), F.lit(1.0)), F.lit(0.0))
+            ),
             lambda x: np.clip((x - np.asarray(_vmin, x.dtype)) / np.asarray(span, x.dtype), 0, 1),
         )
     # NaN-aware degenerate path: np.zeros_like → zeros EVERYWHERE incl. NaN cells

@@ -125,6 +125,28 @@ class TestMathOps:
         rf = RasterFrame.from_numpy(spark, np.array([[5.0, 5.0]]), meta)
         np.testing.assert_array_equal(rf.normalize().to_numpy(), [[0.0, 0.0]])
 
+    def test_clamp_preserves_nan_both_dtype_paths(self, spark):
+        # Spark's NaN-is-largest ordering made the JVM a_max branch turn NaN into
+        # a_max (ADVICE r1); np.clip keeps NaN. Both dtype paths must agree.
+        for dtype in ("float64", "float32"):
+            meta = RasterMeta(1.0, "EPSG:2193", Affine(1, 0, 0, 0, -1, 1), 1, 3, tile_size=3, dtype=dtype)
+            rf = RasterFrame.from_numpy(spark, np.array([[1.0, np.nan, 5.0]], dtype=dtype), meta)
+            out = rf.clamp(a_min=2.0, a_max=3.0).to_numpy()
+            assert out[0, 0] == 2.0 and np.isnan(out[0, 1]) and out[0, 2] == 3.0, dtype
+            out_max = rf.clamp(a_max=3.0).to_numpy()
+            assert out_max[0, 0] == 1.0 and np.isnan(out_max[0, 1]) and out_max[0, 2] == 3.0, dtype
+
+    def test_normalize_preserves_nan_both_dtype_paths(self, spark):
+        # F.least(NaN, 1.0) == 1.0 in Spark; reference np.clip keeps NaN (ADVICE r1).
+        for dtype in ("float64", "float32"):
+            meta = RasterMeta(1.0, "EPSG:2193", Affine(1, 0, 0, 0, -1, 1), 1, 3, tile_size=3, dtype=dtype)
+            rf = RasterFrame.from_numpy(spark, np.array([[1.0, np.nan, 5.0]], dtype=dtype), meta)
+            out = rf.normalize().to_numpy()
+            assert out[0, 0] == 0.0 and np.isnan(out[0, 1]) and out[0, 2] == 1.0, dtype
+            out2 = rf.normalize(vmin=0.0, vmax=10.0).to_numpy()
+            assert np.isnan(out2[0, 1]), dtype
+            np.testing.assert_allclose([out2[0, 0], out2[0, 2]], [0.1, 0.5], rtol=1e-6)
+
     def test_dtype_preserved_float16(self, spark):
         # reference preserves dtype (tests/conftest.py:29-62): 0.1 in f16 ≠ 0.1 in f64
         meta = RasterMeta(1.0, "EPSG:2193", Affine(1, 0, 0, 0, -1, 2), 2, 2, tile_size=2, dtype="float16")

@@ -370,14 +370,19 @@ FROM alldocs GROUP BY text HAVING count(*) >= 2
 """
 
 
+_JACCARD_MAX_DF = 50  # hot-gram cap, mirrored exactly in the oracle SQL below
+
+
 def _q_ngram_jaccard(spark, sf_dir):
     d = _read(spark, sf_dir, "documents")
-    out = D.ngram_jaccard_pairs(d, n=3, threshold=0.5)
+    out = D.ngram_jaccard_pairs(d, n=3, threshold=0.5, max_doc_freq=_JACCARD_MAX_DF)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 _ORACLE_JACCARD = f"""
-WITH grams AS ({_GRAMS_SQL}),
+WITH grams0 AS ({_GRAMS_SQL}),
+hot AS (SELECT gram FROM grams0 GROUP BY gram HAVING count(*) > {_JACCARD_MAX_DF}),
+grams AS (SELECT * FROM grams0 WHERE gram NOT IN (SELECT gram FROM hot)),
 sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
@@ -445,8 +450,35 @@ FROM m
 
 
 def _q_minhash_lsh(spark, sf_dir):
+    # md5 hash family: the ONLY variant DuckDB can reproduce bit-for-bit — proves
+    # the banding semantics. The production default (and the benched path) is
+    # hash_family='xxhash64' (dedup_minhash_fast below).
     d = _read(spark, sf_dir, "documents")
-    return D.minhash_lsh_buckets(d, n=3, num_hashes=8, bands=4).select("id", "band", "bucket")
+    return D.minhash_lsh_buckets(d, n=3, num_hashes=8, bands=4, hash_family="md5").select(
+        "id", "band", "bucket"
+    )
+
+
+def _q_minhash_fast(spark, sf_dir):
+    # xxhash64 int signatures: the production path (no DuckDB xxhash64 → rows-only
+    # oracle; banding semantics proven by dedup_minhash_lsh, fast-vs-md5 candidate
+    # agreement covered in tests/test_documents.py).
+    d = _read(spark, sf_dir, "documents")
+    return D.minhash_lsh_buckets(d, n=3, num_hashes=8, bands=4, hash_family="xxhash64").select(
+        "id", "band", "bucket"
+    )
+
+
+def _q_simhash_hamming(spark, sf_dir):
+    # planted near-dups: copies of the first 50 docs with one token appended →
+    # small Hamming perturbation; recovered via pigeonhole block banding.
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    flipped = d.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), F.concat("text", F.lit(" zzqx")).alias("text")
+    )
+    return D.simhash_hamming_pairs(d.unionByName(flipped), max_hamming=3, bands=4).select(
+        "id_a", "id_b", "hamming"
+    )
 
 
 def _minhash_oracle() -> str:
@@ -882,7 +914,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_revenue_join": _q_nation_revenue,
         # rows-only (no SQL-expressible oracle):
         "flagship_doc_zonal": _q_flagship,
+        "dedup_minhash_fast": _q_minhash_fast,  # xxhash64: not in DuckDB; md5 twin IS oracled
         "dedup_simhash": _q_simhash,
+        "dedup_simhash_hamming": _q_simhash_hamming,  # xxhash64-based simhash
         "sim_srp_topk": _q_srp_topk,
         "multimodal_image_features": _q_multimodal_features,
         "raster_contour_summary": _q_contour,

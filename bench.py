@@ -150,7 +150,10 @@ def main():
         "raster_sample_points",
         "raster_add",
         "raster_knn",
-        "dedup_minhash_lsh",
+        # dedup_minhash_fast is the production xxhash64 path; the md5 twin
+        # (dedup_minhash_lsh) exists solely for DuckDB oracle portability and is
+        # deliberately not benched — it hashes hex strings per (gram, hash fn).
+        "dedup_minhash_fast",
         "dedup_ngram_jaccard",
         "sim_embedding_topk",
         "text_token_stats",
@@ -158,6 +161,24 @@ def main():
     ]:
         t, _ = timed(lambda name=name: qs[name](spark, SF_DIR).count())
         results[name] = round(t, 3)
+
+    # -- 1M-doc MinHash dedup (fast path): signature+banding throughput ---------
+    # pre-materialized corpus (BASELINE protocol); agg over bucket forces the
+    # full signature computation (a bare count() could prune the hash exprs)
+    from rastr_spark.functions.dedup import minhash_lsh_buckets
+    from rastr_spark.sources.documents import generate_text_corpus
+
+    n_dedup = int(os.environ.get("SPARK_GRAFT_BENCH_DEDUP_DOCS", "1000000"))
+    generate_text_corpus(spark, n_dedup, seed=7).write.mode("overwrite").parquet(
+        f"{docs_dir}/corpus"
+    )
+    corpus = spark.read.parquet(f"{docs_dir}/corpus")
+    t_dedup, _ = timed(
+        lambda: minhash_lsh_buckets(corpus, n=3, num_hashes=8, bands=4)
+        .agg(F.countDistinct("bucket"))
+        .collect()
+    )
+    results["dedup_minhash_1m"] = round(t_dedup, 3)
 
     shutil.rmtree(docs_dir, ignore_errors=True)
     total = round(sum(results.values()), 3)
@@ -170,6 +191,8 @@ def main():
         "cpus": CPUS,
         "n_docs": n_docs,
         "docs_per_sec": round(docs_per_sec, 1),
+        "dedup_docs": n_dedup,
+        "dedup_docs_per_sec": round(n_dedup / t_dedup, 1),
     }
     scaling_file = Path(__file__).resolve().parent / "BENCH_SCALING.json"
     if scaling_file.exists():

@@ -7,12 +7,15 @@ Four families (all distributed, shuffle-aware):
 - **n-gram Jaccard**: shingle → explode → self-equi-join on shingle → per-pair
   intersection counts → Jaccard = ∩ / (|A|+|B|−∩). The join is on gram (never a
   cartesian); hot grams can be frequency-capped.
-- **MinHash + LSH**: signature = per-hash-function MIN over shingle hashes. Hash
-  family = md5(gram || ':' || i) — *portable*: identical strings in Spark and
-  DuckDB, so the driver's oracle can reproduce signatures bit-for-bit. Banding
+- **MinHash + LSH**: signature = per-hash-function MIN over shingle hashes. Two
+  hash families: ``xxhash64`` (default — int signatures, one JVM hash per gram
+  then one 8-byte rehash per hash fn; the production path) and ``md5`` —
+  *portable*: identical hex strings in Spark and DuckDB, so the driver's oracle
+  reproduces signatures bit-for-bit (kept solely for that oracle). Banding
   buckets docs by (band_idx, band_value); candidate pairs share ≥1 bucket.
-- **SimHash**: 64-bit sign-aggregated token hashes; near-dups = equal simhash
-  (or small Hamming distance via band rotation).
+- **SimHash**: 64-bit sign-aggregated token hashes; near-dups = equal simhash,
+  or Hamming distance ≤ r via banding (pigeonhole: split 64 bits into
+  ``bands > r`` blocks — any pair within distance r agrees exactly on ≥1 block).
 
 At the 10^12-doc regime: exact + LSH are the scale paths (linear, bounded fan-out);
 full Jaccard runs only on LSH candidates. Embedding near-dup lives in similarity.py.
@@ -49,16 +52,34 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Candidate pairs (id_a < id_b) with word-n-gram Jaccard ≥ threshold.
 
     Shuffle profile: one explode (docs × grams), one equi-join on gram, one
-    groupBy pair. Skew guard: grams shared by more than ``2^31`` docs would need
-    capping — left to the caller's corpus stats at extreme scale.
+    groupBy pair.
+
+    Skew guard (``max_doc_freq``): a gram appearing in d docs contributes
+    O(d²) join rows — Zipf-hot grams ("of the and") turn the equi-join
+    quadratic. With ``max_doc_freq`` set, a document-frequency pre-pass drops
+    grams appearing in more than that many docs from BOTH intersection and
+    union (sizes are computed after the filter), i.e. Jaccard over the
+    capped shingle space — the standard stop-shingle treatment, exactly
+    reproducible in SQL with the same HAVING clause. Bounds worst-case join
+    fan-out at ``max_doc_freq²`` rows per gram regardless of corpus size.
     """
     grams = docs.select(
         F.col(id_col).alias("id"), F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
     )
+    if max_doc_freq is not None:
+        # grams are distinct per doc (word_ngrams dedupes), so count(*) = doc freq.
+        hot = (
+            grams.groupBy("gram")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("gram")
+        )
+        grams = grams.join(F.broadcast(hot), "gram", "left_anti")
     sizes = grams.groupBy("id").agg(F.count("*").alias("n_grams"))
     a = grams.alias("a")
     b = grams.alias("b")
@@ -82,20 +103,40 @@ def ngram_jaccard_pairs(
     return out
 
 
-def minhash_signature(text: Column, *, n: int = 3, num_hashes: int = 16) -> Column:
-    """MinHash signature as array<string>: element i = min(md5(gram || ':' || i)).
+def minhash_signature(
+    text: Column, *, n: int = 3, num_hashes: int = 16, hash_family: str = "xxhash64"
+) -> Column:
+    """MinHash signature column.
 
-    md5-as-hex-string MIN is portable across Spark and DuckDB (both lowercase hex)
-    — chosen so the correctness oracle can verify signatures exactly. Swap for
-    xxhash64 ints for raw speed in production.
+    hash_family='xxhash64' (default, production): element i =
+    min(xxhash64(xxhash64(gram), i)) as array<bigint> — integer min, no string
+    allocation; reference for banding semantics: the md5 variant proven against
+    the DuckDB oracle (dedup_minhash_lsh).
+    hash_family='md5': element i = min(md5(gram || ':' || i)) as array<string> —
+    portable across Spark and DuckDB (both lowercase hex), kept SOLELY so the
+    correctness oracle can verify signatures bit-for-bit.
+
+    Note: in the column form the per-gram base hash is inlined per hash fn;
+    :func:`minhash_lsh_buckets` materializes it once per doc — use that for the
+    hot path.
     """
     grams = word_ngrams(text, n)
 
-    def _min_hash(i: int):
-        # one-arg lambda only: a 2-param lambda would be bound as (element, index)
+    # closure factories: Spark binds a 2-param lambda as (element, index), so the
+    # hash index must be captured via def, never as a lambda default arg
+    def _md5_min(i: int):
         return F.array_min(F.transform(grams, lambda g: F.md5(F.concat(g, F.lit(f":{i}")))))
 
-    return F.array(*[_min_hash(i) for i in range(num_hashes)])
+    if hash_family == "md5":
+        return F.array(*[_md5_min(i) for i in range(num_hashes)])
+    if hash_family != "xxhash64":
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
+    base = F.transform(grams, lambda g: F.xxhash64(g))
+
+    def _xx_min(i: int):
+        return F.array_min(F.transform(base, lambda h: F.xxhash64(h, F.lit(i))))
+
+    return F.array(*[_xx_min(i) for i in range(num_hashes)])
 
 
 def minhash_lsh_buckets(
@@ -106,8 +147,19 @@ def minhash_lsh_buckets(
     bands: int = 4,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
-    """(band, bucket, id) rows: docs sharing a bucket are near-dup candidates."""
+    """(id, band, bucket) rows: docs sharing a bucket are near-dup candidates.
+
+    Fast path (default 'xxhash64'): tokenize once → xxhash64 each gram ONCE to a
+    long → per hash fn i, min over xxhash64(base, i) (8-byte rehash, no string
+    concat/alloc) → bucket = one xxhash64 over the band's longs (bigint bucket).
+    Each projection stage is materialized as a column so whole-stage codegen
+    computes it once per row, not once per consuming expression.
+
+    'md5' path: hex-string mins, bucket = concat_ws of the band slice (string
+    bucket) — bit-for-bit reproducible in DuckDB; used by the oracle query only.
+    """
     rows_per_band = num_hashes // bands
     # materialize grams ONCE as a column — inlining word_ngrams into each of the
     # num_hashes min-hash expressions would re-tokenize the document per hash fn
@@ -115,19 +167,48 @@ def minhash_lsh_buckets(
         F.col(id_col).alias("id"), word_ngrams(F.col(text_col), n).alias("grams")
     ).filter(F.size("grams") > 0)
 
-    def _min_hash(i: int):
+    def _md5_min(i: int):
+        # one-arg lambda only: a 2-param lambda would be bound as (element, index)
         return F.array_min(F.transform("grams", lambda g: F.md5(F.concat(g, F.lit(f":{i}")))))
 
-    d = grams_df.select("id", F.array(*[_min_hash(i) for i in range(num_hashes)]).alias("sig"))
-    bands_arr = F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.concat_ws("|", F.slice("sig", bi * rows_per_band + 1, rows_per_band)).alias("bucket"),
-            )
-            for bi in range(bands)
-        ]
-    )
+    def _xx_min(i: int):
+        return F.array_min(F.transform("gh", lambda h: F.xxhash64(h, F.lit(i))))
+
+    if hash_family == "md5":
+        d = grams_df.select(
+            "id",
+            F.array(*[_md5_min(i) for i in range(num_hashes)]).alias("sig"),
+        )
+        bands_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(bi).alias("band"),
+                    F.concat_ws(
+                        "|", F.slice("sig", bi * rows_per_band + 1, rows_per_band)
+                    ).alias("bucket"),
+                )
+                for bi in range(bands)
+            ]
+        )
+    elif hash_family == "xxhash64":
+        hashed = grams_df.select("id", F.transform("grams", lambda g: F.xxhash64(g)).alias("gh"))
+        d = hashed.select(
+            "id",
+            F.array(*[_xx_min(i) for i in range(num_hashes)]).alias("sig"),
+        )
+        bands_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(bi).alias("band"),
+                    F.xxhash64(
+                        *[F.element_at("sig", bi * rows_per_band + k + 1) for k in range(rows_per_band)]
+                    ).alias("bucket"),
+                )
+                for bi in range(bands)
+            ]
+        )
+    else:
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
     return d.select("id", F.explode(bands_arr).alias("bb")).select(
         "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
@@ -135,10 +216,13 @@ def minhash_lsh_buckets(
 
 def minhash_candidate_pairs(
     docs: DataFrame, *, n: int = 3, num_hashes: int = 16, bands: int = 4,
-    id_col: str = "doc_id", text_col: str = "text",
+    id_col: str = "doc_id", text_col: str = "text", hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Distinct candidate pairs from shared LSH buckets (id_a < id_b)."""
-    b = minhash_lsh_buckets(docs, n=n, num_hashes=num_hashes, bands=bands, id_col=id_col, text_col=text_col)
+    b = minhash_lsh_buckets(
+        docs, n=n, num_hashes=num_hashes, bands=bands,
+        id_col=id_col, text_col=text_col, hash_family=hash_family,
+    )
     a, c = b.alias("a"), b.alias("b")
     return (
         a.join(c, ["band", "bucket"])
@@ -153,9 +237,17 @@ def simhash64(text: Column) -> Column:
 
     JVM-only: per-token xxhash64, per-bit contribution via shiftright/bit-and,
     aggregated with higher-order functions.
+
+    Column-form caveat: the token-hash array is inlined into each of the 64
+    per-bit aggregates (re-tokenize + re-hash ×64). The DataFrame functions
+    below materialize it once via :func:`_simhash_from_token_hashes` — use
+    those on the hot path.
     """
-    toks = tokens(text)
-    th = F.transform(toks, lambda t: F.xxhash64(t))
+    return _simhash_from_token_hashes(F.transform(tokens(text), lambda t: F.xxhash64(t)))
+
+
+def _simhash_from_token_hashes(th: Column) -> Column:
+    """SimHash from a (possibly materialized) array<bigint> of token hashes."""
 
     def _bit_sum(j: int):
         # closure factory: Spark inspects lambda arity, so the bit index must be
@@ -172,11 +264,77 @@ def simhash64(text: Column) -> Column:
     return out
 
 
+def _simhash_df(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash) with token hashes materialized ONCE per doc (the column form
+    of simhash64 would re-tokenize and re-hash per bit — 64×)."""
+    th = docs.select(
+        F.col(id_col).alias("id"),
+        F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t)).alias("_th"),
+    )
+    return th.select("id", _simhash_from_token_hashes(F.col("_th")).alias("simhash"))
+
+
 def simhash_groups(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Docs grouped by identical simhash (near-dup clusters at Hamming distance 0)."""
     return (
-        docs.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("simhash"))
+        _simhash_df(docs, id_col, text_col)
         .groupBy("simhash")
         .agg(F.count("*").alias("n"), F.min("id").alias("canonical_id"))
         .filter(F.col("n") >= 2)
+    )
+
+
+def simhash_hamming_pairs(
+    docs: DataFrame,
+    *,
+    max_hamming: int = 2,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs (id_a < id_b) at simhash Hamming distance ≤ ``max_hamming``.
+
+    Pigeonhole banding: split the 64-bit simhash into ``bands`` equal blocks —
+    any pair within Hamming distance r < bands differs in at most r blocks, so
+    it agrees EXACTLY on ≥ bands − r ≥ 1 block. Candidate generation is a
+    bucket equi-join on (band, block) — never all-pairs — then the exact
+    Hamming distance ``bit_count(a XOR b)`` filters candidates. Guaranteed
+    complete for r ≤ bands − 1 (this is the block-permutation scheme of
+    Manku et al.'s simhash dedup, with blocks in place of rotations).
+
+    Output: (id_a, id_b, hamming). Scale: each block bucket fans out like an
+    LSH bucket; 2^(64/bands) distinct block values keep buckets tiny except for
+    true near-dup clusters.
+    """
+    if not 0 <= max_hamming < bands:
+        raise ValueError(f"need 0 <= max_hamming < bands (got r={max_hamming}, bands={bands})")
+    if 64 % bands != 0:
+        raise ValueError(f"bands must divide 64 (got {bands})")
+    block_bits = 64 // bands
+    mask = F.lit((1 << block_bits) - 1) if block_bits < 64 else F.lit(-1)
+
+    sh = _simhash_df(docs, id_col, text_col)
+    blocks_arr = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.shiftrightunsigned("simhash", bi * block_bits).bitwiseAND(mask).alias("block"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    b = sh.select("id", "simhash", F.explode(blocks_arr).alias("bb")).select(
+        "id", "simhash", F.col("bb.band").alias("band"), F.col("bb.block").alias("block")
+    )
+    a, c = b.alias("a"), b.alias("b")
+    return (
+        a.join(c, ["band", "block"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )

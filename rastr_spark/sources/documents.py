@@ -198,3 +198,39 @@ def assert_span_invariant(before: DataFrame, after: DataFrame) -> None:
     )
     if bad:
         raise AssertionError(f"span-sequence invariant violated for docs: {[r['doc_id'] for r in bad]}")
+
+
+def generate_text_corpus(
+    spark: SparkSession,
+    n_docs: int,
+    *,
+    seed: int = 7,
+    n_words: int = 40,
+    vocab: int = 50_000,
+    dup_every: int = 10,
+) -> DataFrame:
+    """Deterministic synthetic text corpus for dedup benchmarks: (doc_id, text).
+
+    Fully distributed (spark.range + JVM expressions, no driver data). Every
+    ``dup_every``-th doc is an exact duplicate of its predecessor (content_id
+    collapses), so MinHash/LSH buckets see realistic collisions. Word j of doc d
+    is ``"w" + (xxhash64(content_id, j, seed) mod vocab)`` — same (n_docs, seed)
+    always yields a bit-identical corpus at any parallelism.
+    """
+    base = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+    content_id = F.when(
+        (F.pmod(F.col("doc_id"), F.lit(int(dup_every))) == F.lit(int(dup_every - 1)))
+        & (F.col("doc_id") > 0),
+        F.col("doc_id") - 1,
+    ).otherwise(F.col("doc_id"))
+    d = base.select("doc_id", content_id.alias("_cid"))
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(int(n_words - 1))),
+        lambda j: F.concat(
+            F.lit("w"),
+            F.pmod(F.xxhash64(F.col("_cid"), j.cast("long"), F.lit(int(seed))), F.lit(int(vocab))).cast(
+                "string"
+            ),
+        ),
+    )
+    return d.select("doc_id", F.concat_ws(" ", words).alias("text"))

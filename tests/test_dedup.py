@@ -1,0 +1,169 @@
+"""Dedup-family unit tests: MinHash hash families, hot-gram capping, SimHash
+Hamming banding, and the synthetic dedup-bench corpus generator."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from rastr_spark.functions import dedup as D
+from rastr_spark.sources.documents import generate_text_corpus
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture()
+def near_dup_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base + " extra"),  # near dup of 0
+        (3, "completely different words here about spark distributed joins ok"),
+        (4, "another unrelated document mentioning parquet files and shuffles"),
+    ]
+    return _docs(spark, rows)
+
+
+class TestMinHashFamilies:
+    def test_exact_dups_share_all_buckets_both_families(self, near_dup_docs):
+        for fam in ("xxhash64", "md5"):
+            b = D.minhash_lsh_buckets(
+                near_dup_docs, n=3, num_hashes=8, bands=4, hash_family=fam
+            )
+            rows = {(r["id"], r["band"], r["bucket"]) for r in b.collect()}
+            b0 = {(band, bkt) for i, band, bkt in rows if i == 0}
+            b1 = {(band, bkt) for i, band, bkt in rows if i == 1}
+            assert b0 == b1 and len(b0) == 4, fam
+
+    def test_fast_candidates_contain_exact_dups(self, near_dup_docs):
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in D.minhash_candidate_pairs(near_dup_docs, n=3, num_hashes=8, bands=4).collect()
+        }
+        assert (0, 1) in pairs
+        # unrelated docs share no 3-gram: cannot land in the same min-hash bucket
+        assert (3, 4) not in pairs
+
+    def test_fast_path_deterministic(self, near_dup_docs):
+        a = sorted(
+            map(tuple, D.minhash_lsh_buckets(near_dup_docs, n=3, num_hashes=8, bands=4).collect())
+        )
+        b = sorted(
+            map(tuple, D.minhash_lsh_buckets(near_dup_docs, n=3, num_hashes=8, bands=4).collect())
+        )
+        assert a == b
+
+    def test_fast_bucket_type_is_long(self, near_dup_docs):
+        b = D.minhash_lsh_buckets(near_dup_docs, n=3, num_hashes=8, bands=4)
+        assert dict(b.dtypes)["bucket"] == "bigint"
+        m = D.minhash_lsh_buckets(near_dup_docs, n=3, num_hashes=8, bands=4, hash_family="md5")
+        assert dict(m.dtypes)["bucket"] == "string"
+
+    def test_unknown_family_raises(self, near_dup_docs):
+        with pytest.raises(ValueError):
+            D.minhash_lsh_buckets(near_dup_docs, hash_family="sha9000").collect()
+
+
+class TestHotGramCap:
+    def test_cap_bounds_pair_fanout_under_zipf_skew(self, spark):
+        # 40 docs ALL sharing one Zipf-hot sentence prefix + a unique tail:
+        # uncapped, the hot grams pair everything (40*39/2 = 780 candidate pairs
+        # enter the groupBy); capped, only true near-dups survive.
+        hot = "the of and to in is it for on the of and"
+        rows = [(i, f"{hot} unique{i} tail{i} words{i}") for i in range(40)]
+        rows += [(100, "zeta eta theta iota kappa " + "x0 x1 x2"), (101, "zeta eta theta iota kappa " + "x0 x1 x2")]
+        docs = _docs(spark, rows)
+        capped = D.ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_doc_freq=5)
+        got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in capped.collect()}
+        # the planted identical pair survives at jaccard 1.0 (its grams are rare)
+        assert got.get((100, 101)) == 1.0
+        # the Zipf-hot block no longer pairs all 40 docs
+        assert all(a >= 100 for a, _ in got), got
+
+    def test_cap_none_matches_previous_semantics(self, spark):
+        rows = [(0, "a b c d e f"), (1, "a b c d e f"), (2, "q w e r t y")]
+        docs = _docs(spark, rows)
+        uncapped = {(r["id_a"], r["id_b"]) for r in D.ngram_jaccard_pairs(docs, threshold=0.8).collect()}
+        capped = {
+            (r["id_a"], r["id_b"])
+            for r in D.ngram_jaccard_pairs(docs, threshold=0.8, max_doc_freq=100).collect()
+        }
+        assert uncapped == capped == {(0, 1)}
+
+    def test_capped_jaccard_is_over_filtered_gram_space(self, spark):
+        # docs share a hot gram (df=3 > cap 2) and differ elsewhere: jaccard is
+        # computed after dropping it (both intersection AND union shrink).
+        rows = [
+            (0, "h1 h2 h3 a b c"),
+            (1, "h1 h2 h3 a b c"),
+            (2, "h1 h2 h3 z z2 z3"),
+        ]
+        docs = _docs(spark, rows)
+        out = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in D.ngram_jaccard_pairs(docs, n=3, threshold=0.1, max_doc_freq=2).collect()
+        }
+        # gram "h1 h2 h3" has df=3 → dropped; docs 0,1 still identical on the rest
+        assert out[(0, 1)] == 1.0
+        # docs 0,2 shared ONLY capped grams ("h1 h2 h3", "h2 h3 ?" differ) → check
+        # no 1.0 for them
+        assert out.get((0, 2), 0.0) < 1.0
+
+
+class TestSimHashHamming:
+    def test_planted_bit_flips_recovered(self, spark):
+        # one-token edits on a long doc → small simhash perturbation; banding at
+        # bands=4 guarantees recovery for hamming <= 3
+        base = " ".join(f"tok{i}" for i in range(200))
+        edit1 = base + " zzqx"
+        edit2 = base.replace("tok5", "qqq", 1)
+        docs = _docs(spark, [(0, base), (1, edit1), (2, edit2), (3, "unrelated short thing")])
+        sh = {
+            r["doc_id"]: r["s"]
+            for r in docs.select("doc_id", D.simhash64(F.col("text")).alias("s")).collect()
+        }
+        d01 = bin(sh[0] ^ sh[1]).count("1")
+        d02 = bin(sh[0] ^ sh[2]).count("1")
+        pairs = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in D.simhash_hamming_pairs(docs, max_hamming=3, bands=4).collect()
+        }
+        if d01 <= 3:
+            assert pairs[(0, 1)] == d01
+        if d02 <= 3:
+            assert pairs[(0, 2)] == d02
+        assert (d01 <= 3) or (d02 <= 3), f"fixture too perturbed: {d01}, {d02}"
+        assert all(h <= 3 for h in pairs.values())
+
+    def test_exact_dups_at_hamming_zero(self, spark):
+        docs = _docs(spark, [(0, "a b c d e"), (1, "a b c d e")])
+        pairs = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in D.simhash_hamming_pairs(docs, max_hamming=0, bands=4).collect()
+        }
+        assert pairs == {(0, 1): 0}
+
+    def test_invalid_params_raise(self, spark):
+        docs = _docs(spark, [(0, "a b c")])
+        with pytest.raises(ValueError):
+            D.simhash_hamming_pairs(docs, max_hamming=4, bands=4)
+        with pytest.raises(ValueError):
+            D.simhash_hamming_pairs(docs, max_hamming=1, bands=5)
+
+
+class TestTextCorpusGenerator:
+    def test_deterministic_across_parallelism(self, spark):
+        a = generate_text_corpus(spark, 200, seed=7).repartition(1).orderBy("doc_id").collect()
+        b = generate_text_corpus(spark, 200, seed=7).repartition(13).orderBy("doc_id").collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+    def test_planted_exact_dups(self, spark):
+        rows = {r["doc_id"]: r["text"] for r in generate_text_corpus(spark, 50, dup_every=10).collect()}
+        assert rows[9] == rows[8] and rows[19] == rows[18]
+        assert rows[1] != rows[0]
+
+    def test_dup_rate_feeds_exact_dedup(self, spark):
+        corpus = generate_text_corpus(spark, 100, dup_every=10)
+        groups = D.exact_duplicates(corpus).collect()
+        assert len(groups) == 10 and all(g["dup_count"] == 2 for g in groups)

@@ -191,39 +191,50 @@ def sample_df(rf: RasterFrame, points: DataFrame, *, x: str = "x", y: str = "y")
     meta = rf.meta
     inv = meta.transform.invert()
     Tsz = meta.tile_size
+    # collision-safe internal columns: callers may legitimately carry columns
+    # named values/tile_row/tile_col/_row/... — never overwrite or drop theirs
+    R, C, IN, TR, TC, TR2, TC2, TW, VALS = (
+        "__rs_row", "__rs_col", "__rs_in", "__rs_tr", "__rs_tc",
+        "__rs_tr2", "__rs_tc2", "__rs_tw", "__rs_vals",
+    )
     xc, yc = F.col(x).cast("double"), F.col(y).cast("double")
     col_f = F.lit(inv.a) * xc + F.lit(inv.b) * yc + F.lit(inv.c)
     row_f = F.lit(inv.d) * xc + F.lit(inv.e) * yc + F.lit(inv.f)
-    p = points.withColumn("_row", F.floor(row_f).cast("long")).withColumn(
-        "_col", F.floor(col_f).cast("long")
+    p = points.withColumn(R, F.floor(row_f).cast("long")).withColumn(
+        C, F.floor(col_f).cast("long")
     )
     in_grid = (
         ~F.isnan(xc)  # NaN casts to 0 on long cast in Spark — guard explicitly
         & ~F.isnan(yc)
-        & F.col("_row").isNotNull()
-        & F.col("_col").isNotNull()
-        & (F.col("_row") >= 0)
-        & (F.col("_row") < meta.height)
-        & (F.col("_col") >= 0)
-        & (F.col("_col") < meta.width)
+        & F.col(R).isNotNull()
+        & F.col(C).isNotNull()
+        & (F.col(R) >= 0)
+        & (F.col(R) < meta.height)
+        & (F.col(C) >= 0)
+        & (F.col(C) < meta.width)
     )
-    p = p.withColumn("_in", in_grid).withColumn(
-        "tile_row", F.when(F.col("_in"), (F.col("_row") / Tsz).cast("int")).otherwise(F.lit(-1))
+    p = p.withColumn(IN, in_grid).withColumn(
+        TR, F.when(F.col(IN), (F.col(R) / Tsz).cast("int")).otherwise(F.lit(-1))
     ).withColumn(
-        "tile_col", F.when(F.col("_in"), (F.col("_col") / Tsz).cast("int")).otherwise(F.lit(-1))
+        TC, F.when(F.col(IN), (F.col(C) / Tsz).cast("int")).otherwise(F.lit(-1))
     )
     _, tw = tile_dims_cols(meta)
-    tiles = rf.df.select("tile_row", "tile_col", tw.alias("_tw"), "values")
-    joined = p.join(tiles, ["tile_row", "tile_col"], "left")
+    tiles = rf.df.select(
+        F.col("tile_row").alias(TR2), F.col("tile_col").alias(TC2),
+        tw.alias(TW), F.col("values").alias(VALS),
+    )
+    joined = p.join(
+        tiles, (p[TR] == tiles[TR2]) & (p[TC] == tiles[TC2]), "left"
+    )
     local_idx = (
-        (F.col("_row") - F.col("tile_row").cast("long") * Tsz) * F.col("_tw")
-        + (F.col("_col") - F.col("tile_col").cast("long") * Tsz)
+        (F.col(R) - F.col(TR2).cast("long") * Tsz) * F.col(TW)
+        + (F.col(C) - F.col(TC2).cast("long") * Tsz)
         + 1  # element_at is 1-based
     )
-    value = F.when(F.col("_in") & F.col("values").isNotNull(), F.element_at("values", local_idx.cast("int"))).otherwise(
-        F.lit(float("nan"))
-    )
-    return joined.withColumn("value", value).drop("_row", "_col", "_in", "_tw", "values", "tile_row", "tile_col")
+    value = F.when(
+        F.col(IN) & F.col(VALS).isNotNull(), F.element_at(VALS, local_idx.cast("int"))
+    ).otherwise(F.lit(float("nan")))
+    return joined.withColumn("value", value).drop(R, C, IN, TR, TC, TR2, TC2, TW, VALS)
 
 
 def sample(rf: RasterFrame, xy, *, na_action: str = "raise"):

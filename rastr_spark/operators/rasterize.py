@@ -190,6 +190,8 @@ def validate_no_overlapping_geometries(
     Tsz = meta.tile_size
     H, W = meta.height, meta.width
 
+    t = meta.transform
+
     def emit(pdf_iter):
         gs = [(i, Geometry.from_row(gr), bb) for i, gr, bb in rows]
         for pdf in pdf_iter:
@@ -197,7 +199,17 @@ def validate_no_overlapping_geometries(
             for tr, tc in zip(pdf["tile_row"], pdf["tile_col"]):
                 r0, c0 = int(tr) * Tsz, int(tc) * Tsz
                 th, tw = min(Tsz, H - r0), min(Tsz, W - c0)
-                for i, geom, bb in gs:
+                # tile world bbox: skip geometries that cannot touch this tile
+                # (same pruning as the burn kernel above — without it every tile
+                # burns every geometry: O(n_tiles × n_geoms × T²))
+                xs, ys = [], []
+                for cc, rr in ((c0, r0), (c0 + tw, r0), (c0, r0 + th), (c0 + tw, r0 + th)):
+                    xs.append(t.a * cc + t.b * rr + t.c)
+                    ys.append(t.d * cc + t.e * rr + t.f)
+                txmin, txmax, tymin, tymax = min(xs), max(xs), min(ys), max(ys)
+                for i, geom, (bxmin, bymin, bxmax, bymax) in gs:
+                    if bxmin > txmax or bxmax < txmin or bymin > tymax or bymax < tymin:
+                        continue
                     m = _burn_geometry(geom, meta, r0, c0, th, tw)
                     rr, cc = np.nonzero(m)
                     for a, b in zip(rr, cc):

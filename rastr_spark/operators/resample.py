@@ -85,7 +85,7 @@ def resample(rf: RasterFrame, cell_size: float, *, method: str = "bilinear") -> 
     gathered = needed.join(rf.df.select("tile_row", "tile_col", "values"), ["tile_row", "tile_col"])
     raster_id = rf.raster_id  # primitive capture (closure must not capture rf)
 
-    def kern(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def kern(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         otr, otc = int(key[0]), int(key[1])
         or0, oc0 = otr * Tsz, otc * Tsz
         oth_ = min(Tsz, new_H - or0)

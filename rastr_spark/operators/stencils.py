@@ -138,7 +138,7 @@ def stencil_apply(
     raster_id = rf.raster_id  # primitive capture — closures must not capture rf (DataFrame)
     msgs = halo_messages(rf, h)
 
-    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def assemble(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         tr, tc = int(key[0]), int(key[1])
         r0, c0 = tr * Tsz, tc * Tsz
         th_, tw_ = min(Tsz, H - r0), min(Tsz, W - c0)
@@ -171,11 +171,23 @@ def stencil_apply(
     return RasterFrame(out, out_meta or meta, rf.raster_id)
 
 
+def _reflect_index(i: int, lo: int, hi: int) -> int:
+    """Half-sample-symmetric ('reflect') index fold into [lo, hi] — the repeated
+    reflection scipy applies when the pad is wider than the data band:
+    ... d c b a | a b c d | d c b a ..."""
+    n = hi - lo + 1
+    m = (i - lo) % (2 * n)
+    if m >= n:
+        m = 2 * n - 1 - m
+    return lo + m
+
+
 def _symmetric_fill(padded: np.ndarray, valid: np.ndarray) -> np.ndarray:
     """Replace outside-grid halo cells with their half-sample-symmetric mirror.
 
-    Works for halos up to tile size: mirrors across each grid edge in turn
-    (row mirror, then col mirror — matches scipy's separable 'reflect')."""
+    Index-folded reflection (row axis, then col axis — matches scipy's separable
+    'reflect'), valid for ANY halo width: a halo wider than the grid band repeats
+    the reflection instead of reading still-NaN halo rows."""
     a = padded.copy()
     n_r, n_c = a.shape
     # find grid-valid row/col bands inside the padded window
@@ -185,14 +197,14 @@ def _symmetric_fill(padded: np.ndarray, valid: np.ndarray) -> np.ndarray:
         return a
     rlo, rhi = vrows[0], vrows[-1]
     clo, chi = vcols[0], vcols[-1]
-    for i in range(rlo - 1, -1, -1):
-        a[i, :] = a[2 * rlo - 1 - i, :]
+    for i in range(0, rlo):
+        a[i, :] = a[_reflect_index(i, rlo, rhi), :]
     for i in range(rhi + 1, n_r):
-        a[i, :] = a[2 * rhi + 1 - i, :]
-    for j in range(clo - 1, -1, -1):
-        a[:, j] = a[:, 2 * clo - 1 - j]
+        a[i, :] = a[_reflect_index(i, rlo, rhi), :]
+    for j in range(0, clo):
+        a[:, j] = a[:, _reflect_index(j, clo, chi)]
     for j in range(chi + 1, n_c):
-        a[:, j] = a[:, 2 * chi + 1 - j]
+        a[:, j] = a[:, _reflect_index(j, clo, chi)]
     return a
 
 
@@ -405,6 +417,7 @@ def extrapolate(rf: RasterFrame, method: str = "nearest") -> RasterFrame:
     h = 8
     max_h = max(meta.height, meta.width)
     out = None
+    prev_cached = None
     for _ in range(64):  # 2^64 cells ≫ any grid; loop exits via remaining == 0
         out = stencil_apply(rf, h, make_kernel(h))
         out = RasterFrame(out.df.cache(), out.meta, out.raster_id)
@@ -413,6 +426,11 @@ def extrapolate(rf: RasterFrame, method: str = "nearest") -> RasterFrame:
             .collect()[0]["x"]
             or 0
         )
+        # the .collect() above materialized this round's cache — the previous
+        # round's table is dead weight in executor storage memory from here on
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        prev_cached = out.df
         if not remaining or h >= max_h:
             break
         h = min(h * 2, max_h)

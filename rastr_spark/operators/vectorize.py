@@ -13,10 +13,14 @@
   dropped (raster.py:1141-1143), optional Catmull-Rom smoothing, dissolve by
   level sorted ascending.
 
-Stitching note (SURVEY.md §7 hard-part 4): segments are collected and chained on
-the driver — contour output is O(isoline length), orders of magnitude below the
-raster itself; for extreme outputs a distributed union-find stitch would replace
-the driver walk (documented trade-off, not needed at test/bench scale).
+Stitching (SURVEY.md §7 hard-part 4): fully distributed — segments shuffle once
+keyed by level and each level's polylines are chained inside a
+``groupBy(level).applyInPandas`` kernel (only ONE level's segments ever
+co-locate; stitch input is O(isoline length), orders of magnitude below the
+raster). The driver sees only finished world-space polylines:
+``contour_lines`` returns them as a DataFrame; ``contour`` is the
+driver-convenience wrapper that collects and dissolves them into Geometry
+objects per level.
 """
 
 from __future__ import annotations
@@ -76,19 +80,24 @@ def _block_segments(a: np.ndarray, level: float, r_off: float, c_off: float):
     (r_off, c_off). Blocks containing NaN are skipped (contours stop at nodata).
     Saddles resolved by the cell-mean rule.
     """
-    H, W = a.shape
     segs = []
     v = a
     above = v > level
     nanb = np.isnan(v)
-    for r in range(H - 1):
-        for c in range(W - 1):
-            if nanb[r, c] or nanb[r, c + 1] or nanb[r + 1, c] or nanb[r + 1, c + 1]:
-                continue
-            tl, tr_, bl, br = above[r, c], above[r, c + 1], above[r + 1, c], above[r + 1, c + 1]
-            idx = (tl << 3) | (tr_ << 2) | (br << 1) | int(bl)
-            if idx in (0, 15):
-                continue
+    # vectorized block classification: the Python loop below only visits blocks
+    # the contour actually crosses (O(isoline length), not O(cells))
+    tl_a, tr_a = above[:-1, :-1], above[:-1, 1:]
+    bl_a, br_a = above[1:, :-1], above[1:, 1:]
+    idx_arr = (tl_a.astype(np.int8) << 3) | (tr_a.astype(np.int8) << 2) | (br_a.astype(np.int8) << 1) | bl_a.astype(np.int8)
+    has_nan = nanb[:-1, :-1] | nanb[:-1, 1:] | nanb[1:, :-1] | nanb[1:, 1:]
+    crossing = ~has_nan & (idx_arr != 0) & (idx_arr != 15)
+    # all four edge crossings are computed per block but only the LUT-selected
+    # ones are used; a non-crossing edge may have va == vb → silence the unused
+    # 0/0 (a *crossing* edge always has va != vb by definition)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        for r, c in zip(*np.nonzero(crossing)):
+            r, c = int(r), int(c)
+            idx = int(idx_arr[r, c])
 
             def interp(va, vb):
                 return (level - va) / (vb - va)
@@ -166,11 +175,15 @@ def _stitch(segs: list) -> list[np.ndarray]:
     return lines
 
 
-def contour(rf: RasterFrame, levels, *, smoothing: bool = True) -> pd.DataFrame:
-    """Contours dissolved by level → pandas DataFrame (level, geometry: Geometry).
+def contour_lines(rf: RasterFrame, levels, *, smoothing: bool = True) -> DataFrame:
+    """Distributed contour extraction → DataFrame (level, xs, ys), one row per
+    stitched world-space polyline (smoothed, degenerate-dropped).
 
-    Distributed segment extraction (one marching-squares pass per tile per level,
-    halo=1), driver-side stitch + smooth + dissolve.
+    Plan shape: marching squares per tile (halo=1, every block owned by exactly
+    one tile) → ONE shuffle keyed by level → per-level stitch/smooth inside
+    ``applyInPandas`` (only that level's segments co-locate; stitch input is
+    O(isoline length)). Nothing touches the driver — chain ``contour`` for the
+    dissolved-Geometry convenience form.
     """
     from .aggregates import rf_stats
 
@@ -190,7 +203,7 @@ def contour(rf: RasterFrame, levels, *, smoothing: bool = True) -> pd.DataFrame:
     H, W = meta.height, meta.width
     msgs = halo_messages(rf, 1)
 
-    def extract(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def extract(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         tr, tc = int(key[0]), int(key[1])
         r0, c0 = tr * Tsz, tc * Tsz
         th, tw = min(Tsz, H - r0), min(Tsz, W - c0)
@@ -213,45 +226,71 @@ def contour(rf: RasterFrame, levels, *, smoothing: bool = True) -> pd.DataFrame:
     seg_df = msgs.groupBy("tile_row", "tile_col").applyInPandas(
         extract, "level double, ra double, ca double, rb double, cb double"
     )
-    seg_rows = seg_df.collect()
 
     t = meta.transform
-    out_levels, out_geoms = [], []
-    for level, _ in plevels:
+    sm = bool(smoothing)
+
+    def stitch_level(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        level = float(key[0])
+        # sort for determinism: applyInPandas arrival order is shuffle-dependent
+        pdf = pdf.sort_values(["ra", "ca", "rb", "cb"], kind="mergesort")
         segs = [
-            ((r["ra"], r["ca"]), (r["rb"], r["cb"])) for r in seg_rows if r["level"] == level
+            ((ra, ca), (rb, cb))
+            for ra, ca, rb, cb in zip(pdf["ra"], pdf["ca"], pdf["rb"], pdf["cb"])
         ]
-        lines = _stitch(segs)
-        keep = []
-        for line in lines:
+        recs = []
+        for line in _stitch(segs):
             if np.unique(np.round(line, 9), axis=0).shape[0] > 2:  # degenerate filter
                 # index → world: transform·(col+0.5, row+0.5)  (rasterio.transform.xy)
                 xs = t.a * (line[:, 1] + 0.5) + t.b * (line[:, 0] + 0.5) + t.c
                 ys = t.d * (line[:, 1] + 0.5) + t.e * (line[:, 0] + 0.5) + t.f
                 xy = np.column_stack([xs, ys])
-                if smoothing:
+                if sm:
                     xy = catmull_rom_smooth(xy)
-                keep.append(xy)
-        if keep:
-            out_levels.append(level)
-            if len(keep) == 1:
-                out_geoms.append(Geometry.linestring(keep[0]))
-            else:
-                offsets = np.cumsum([0] + [len(k) for k in keep])
-                out_geoms.append(
-                    Geometry(
-                        "multilinestring",
-                        np.vstack(keep).ravel(),
-                        offsets,
-                        np.array([0, len(keep)]),
-                    )
-                )
-    order = np.argsort(out_levels, kind="stable")
-    return pd.DataFrame(
-        {"level": [out_levels[i] for i in order], "geometry": [out_geoms[i] for i in order]}
+                recs.append((level, xy[:, 0].tolist(), xy[:, 1].tolist()))
+        return pd.DataFrame(recs, columns=["level", "xs", "ys"])
+
+    return seg_df.groupBy("level").applyInPandas(
+        stitch_level, "level double, xs array<double>, ys array<double>"
     )
+
+
+def contour(rf: RasterFrame, levels, *, smoothing: bool = True) -> pd.DataFrame:
+    """Contours dissolved by level → pandas DataFrame (level, geometry: Geometry).
+
+    Driver-convenience wrapper over :func:`contour_lines`: the only collect is of
+    FINISHED polylines (O(contour length)); extraction and stitching stay on the
+    executors. Polyline parts are ordered deterministically (first vertex, then
+    length) within each level's multilinestring.
+    """
+    rows = contour_lines(rf, levels, smoothing=smoothing).collect()
+    by_level: dict[float, list[np.ndarray]] = {}
+    for r in rows:
+        by_level.setdefault(float(r["level"]), []).append(
+            np.column_stack([np.asarray(r["xs"]), np.asarray(r["ys"])])
+        )
+    out_levels, out_geoms = [], []
+    for level in sorted(by_level):
+        keep = sorted(by_level[level], key=lambda a: (a[0, 0], a[0, 1], len(a)))
+        out_levels.append(level)
+        if len(keep) == 1:
+            out_geoms.append(Geometry.linestring(keep[0]))
+        else:
+            offsets = np.cumsum([0] + [len(k) for k in keep])
+            out_geoms.append(
+                Geometry(
+                    "multilinestring",
+                    np.vstack(keep).ravel(),
+                    offsets,
+                    np.array([0, len(keep)]),
+                )
+            )
+    return pd.DataFrame({"level": out_levels, "geometry": out_geoms})
 
 
 RasterFrame.as_geodataframe = lambda self, name="value": as_geodataframe(self, name)
 RasterFrame.gdf = lambda self, name="value": as_geodataframe(self, name)
 RasterFrame.contour = lambda self, levels, smoothing=True: contour(self, levels, smoothing=smoothing)
+RasterFrame.contour_lines = lambda self, levels, smoothing=True: contour_lines(
+    self, levels, smoothing=smoothing
+)

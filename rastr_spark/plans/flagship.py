@@ -145,7 +145,15 @@ def doc_zonal_stats(
     """
     refs = media_refs(docs).filter(F.col("raster_id") == rf.raster_id)
     partials = tile_zone_partials(rf, zones)
+    return _join_refs_partials(refs, partials, salt_threshold=salt_threshold)
 
+
+def _join_refs_partials(
+    refs: DataFrame, partials: DataFrame, *, salt_threshold: int | None = None
+) -> DataFrame:
+    """The flagship's skew-aware join + final agg, shared by the one-shot and
+    checkpointed plans (the resumable variant is exactly the run that needs skew
+    handling at scale)."""
     if salt_threshold:
         counts = refs.groupBy("tile_row", "tile_col").count()
         hot = counts.filter(F.col("count") > salt_threshold).select(
@@ -241,15 +249,10 @@ def flagship_checkpointed(
     )
 
     def build_final() -> DataFrame:
-        refs = refs_stage.df
-        partials = partials_stage.df
-        joined = refs.join(partials, ["tile_row", "tile_col"], "inner")
-        return joined.groupBy("zone_id", "doc_id").agg(
-            F.sum("cnt").alias("cell_count"),
-            F.sum("s").alias("sum"),
-            F.min("mn").alias("min"),
-            F.max("mx").alias("max"),
-            (F.sum("s") / F.sum("cnt")).alias("mean"),
+        # same salted join as the one-shot plan — stage 3 rebuilt from the
+        # checkpointed refs/partials tables keeps the skew fan-out
+        return _join_refs_partials(
+            refs_stage.df, partials_stage.df, salt_threshold=salt_threshold
         )
 
     final_stage = cm.run_stage(spark, "doc_zonal", input_fingerprint, build_final)

@@ -220,7 +220,7 @@ class RasterFrame:
             F.col(value_col).cast("double").alias("value"),
         )
 
-        def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        def assemble(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
             tr, tc = int(key[0]), int(key[1])
             r0, c0 = tr * Tsz, tc * Tsz
             th, tw = min(Tsz, H - r0), min(Tsz, W - c0)

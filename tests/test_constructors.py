@@ -236,6 +236,29 @@ class TestRasterize:
         with pytest.raises(OverlappingGeometriesError):
             rasterize_gdf(spark, gdf, raster_meta=self._meta(0.5), target_cols=["value"])
 
+    def test_overlap_validator_bbox_pruned_at_scale(self, spark):
+        # 1k disjoint scattered boxes on a 4096² grid: bbox pruning keeps the
+        # validator to O(touched tiles × local geoms), not n_tiles × n_geoms × T²
+        import time
+
+        meta = RasterMeta(
+            1.0, "EPSG:2193", Affine(1, 0, 0, 0, -1, 4096), 4096, 4096, tile_size=256
+        )
+        geoms = []
+        for k in range(1000):
+            x = (k % 32) * 128.0 + 10.0
+            y = (k // 32) * 128.0 + 10.0
+            geoms.append(Geometry.box(x, y, x + 50.0, y + 50.0))
+        t0 = time.time()
+        validate_no_overlapping_geometries(spark, geoms, meta)  # no raise
+        took = time.time() - t0
+        assert took < 60, f"validator took {took:.1f}s — pruning regressed"
+        # still detects a genuine overlap among the same scattered set
+        with pytest.raises(OverlappingGeometriesError):
+            validate_no_overlapping_geometries(
+                spark, geoms + [Geometry.box(15.0, 15.0, 40.0, 40.0)], meta
+            )
+
     def test_touching_passes(self, spark):
         gdf = pd.DataFrame(
             {"geometry": [Geometry.box(0, 0, 2, 2), Geometry.box(2, 0, 4, 2)], "value": [1.0, 2.0]}
@@ -347,6 +370,34 @@ class TestVectorize:
         assert list(gdf.columns) == ["level", "geometry"]
         assert list(gdf["level"]) == sorted(set(gdf["level"]))
         assert len(gdf) <= 2
+
+    def test_contour_distributed_stitch_large_grid(self, spark):
+        # a single isoline crossing 16 tiles of a 1024² grid must come back as ONE
+        # stitched polyline spanning the full width — the stitch runs inside
+        # groupBy(level).applyInPandas, never on the driver
+        N, TS = 1024, 256
+        meta = RasterMeta(1.0, "EPSG:2193", Affine(1, 0, 0, 0, -1, N), N, N, tile_size=TS)
+        rf = RasterFrame.generate(
+            spark, meta, lambda r, c: r.cast("double")
+        ) if hasattr(RasterFrame, "generate") else None
+        if rf is None:
+            import pyspark.sql.functions as F
+            base = RasterFrame.full(spark, meta, 0.0)
+            df = base.df.select(
+                "raster_id", "tile_row", "tile_col", "cell_id",
+                F.transform(
+                    F.sequence(F.lit(0), F.size("values") - 1),
+                    lambda i: (F.col("tile_row") * TS + (i / TS).cast("int")).cast("double"),
+                ).alias("values"),
+            )
+            rf = RasterFrame(df, meta, base.raster_id)
+        lines = rf.contour_lines([511.5], smoothing=False).collect()
+        assert len(lines) == 1  # one polyline despite 16-tile extraction
+        xs = np.asarray(lines[0]["xs"])
+        ys = np.asarray(lines[0]["ys"])
+        np.testing.assert_allclose(ys, N - (511.5 + 0.5), atol=1e-9)
+        assert xs.min() <= 1.0 and xs.max() >= N - 2.0
+        assert len(xs) >= N - 2
 
     def test_contour_smoothing_runs(self, spark):
         arr = np.tile(np.arange(5.0)[:, None], (1, 5))

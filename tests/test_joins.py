@@ -106,6 +106,22 @@ class TestSample:
         vals = rf.sample([(0.5, 0.5), (1.5, 0.5)])
         assert np.isnan(vals[0]) and vals[1] == 2.0
 
+    def test_sample_df_preserves_colliding_caller_columns(self, spark, grid4):
+        # ADVICE r1: caller columns named like the internal working columns
+        # (values/tile_row/_row/...) must survive untouched
+        from rastr_spark.operators.joins import sample_df
+
+        pts = spark.createDataFrame(
+            [(0.5, 3.5, "keep", 7, 8, 9), (3.5, 0.5, "keep2", 70, 80, 90)],
+            "x double, y double, values string, tile_row long, _row long, _tw long",
+        )
+        out = sample_df(grid4, pts).orderBy("x").collect()
+        assert [r["value"] for r in out] == [1.0, 16.0]
+        assert [r["values"] for r in out] == ["keep", "keep2"]
+        assert [r["tile_row"] for r in out] == [7, 70]
+        assert [r["_row"] for r in out] == [8, 80]
+        assert [r["_tw"] for r in out] == [9, 90]
+
 
 class TestZonalStats:
     def test_two_zones(self, grid4):

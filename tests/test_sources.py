@@ -187,6 +187,43 @@ class TestCheckpointedFlagship:
         r3 = {(r["zone_id"], r["doc_id"]): r["sum"] for r in direct.collect()}
         assert r1 == r3
 
+    def test_salted_stage3_matches_unsalted_and_survives_resume(self, spark, tmp_path):
+        # the resumable plan is the one you'd run at 100 TB — its stage-3 join
+        # must share doc_zonal_stats' salt fan-out (VERDICT r1 wrong #3)
+        import numpy as np
+        from rastr_spark.geometry import Geometry
+        from rastr_spark.meta import Affine, RasterMeta
+        from rastr_spark.plans.flagship import doc_zonal_stats, flagship_checkpointed
+        from rastr_spark.sources.documents import generate_documents
+        from rastr_spark.sources.checkpoint import CheckpointManager
+        from rastr_spark.tiles import RasterFrame
+
+        meta = RasterMeta(32.0, "EPSG:2193", Affine(32, 0, 0, 0, -32, 512), 16, 16, tile_size=4)
+        rf = RasterFrame.from_numpy(spark, np.tile(np.arange(16.0)[:, None], (1, 16)), meta)
+        # Zipf-skewed docs: low threshold forces the salt path on the hot tiles
+        docs = generate_documents(spark, 300, seed=42, n_tile_rows=4, n_tile_cols=4)
+        zones = [("all", Geometry.box(0, 0, 512, 512)), ("top", Geometry.box(0, 256, 512, 512))]
+
+        salted, _ = flagship_checkpointed(
+            spark, docs, rf, zones,
+            ckpt_dir=str(tmp_path / "salted"), input_fingerprint="fp", salt_threshold=5,
+        )
+        rs = {(r["zone_id"], r["doc_id"]): (r["cell_count"], r["sum"]) for r in salted.collect()}
+        unsalted = doc_zonal_stats(docs, rf, zones, salt_threshold=None)
+        ru = {(r["zone_id"], r["doc_id"]): (r["cell_count"], r["sum"]) for r in unsalted.collect()}
+        assert rs == ru and len(rs) > 0
+
+        # kill-and-resume mid-join: invalidate stage 3, rerun WITH salting — the
+        # rebuilt join reads the committed refs/partials and still matches
+        CheckpointManager(str(tmp_path / "salted")).invalidate("doc_zonal")
+        resumed, stages = flagship_checkpointed(
+            spark, docs, rf, zones,
+            ckpt_dir=str(tmp_path / "salted"), input_fingerprint="fp", salt_threshold=5,
+        )
+        assert stages[0].resumed and stages[1].resumed and not stages[2].resumed
+        rr = {(r["zone_id"], r["doc_id"]): (r["cell_count"], r["sum"]) for r in resumed.collect()}
+        assert rr == ru
+
 
 class TestMosaicIO:
     def test_read_raster_mosaic_stem_order(self, spark, tmp_path):

@@ -112,6 +112,28 @@ class TestBlur:
         np.testing.assert_allclose(a, b, rtol=1e-12)
 
 
+class TestSymmetricFill:
+    def test_halo_wider_than_band_matches_np_symmetric(self):
+        # ADVICE r1: a single mirror read still-NaN halo rows when halo > band;
+        # the index fold must reproduce numpy's repeated 'symmetric' padding
+        # (== scipy.ndimage mode='reflect')
+        a = np.arange(6.0).reshape(2, 3)
+        h = 5
+        padded = np.full((2 + 2 * h, 3 + 2 * h), np.nan)
+        padded[h : h + 2, h : h + 3] = a
+        valid = np.zeros_like(padded, dtype=bool)
+        valid[h : h + 2, h : h + 3] = True
+        out = _symmetric_fill(padded, valid)
+        np.testing.assert_array_equal(out, np.pad(a, h, mode="symmetric"))
+
+    def test_blur_radius_exceeding_grid(self, spark):
+        # 4×4 grid, σ=2 → radius 8 > grid: must equal the reference kernel
+        arr = np.arange(16.0).reshape(4, 4)
+        rf = make_rf(spark, arr, tile_size=2)
+        out = rf.blur(2.0).to_numpy()
+        np.testing.assert_allclose(out, ref_gaussian(arr, 2.0), rtol=1e-9)
+
+
 class TestDilate:
     def test_simple_max_spread(self, spark):
         arr = np.zeros((5, 5))

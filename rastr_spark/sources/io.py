@@ -1,12 +1,15 @@
-"""Raster I/O: partitioned parquet/Iceberg-style tile store + GSAG ASCII grids.
+"""Raster I/O: partitioned parquet/Iceberg-style tile store, GeoTIFF, GSAG grids.
 
-GeoTIFF is out of scope (no rasterio/GDAL in this environment `[env]`); the
-engine's native persistent format is the tile table written as parquet
+The engine's native persistent format is the tile table written as parquet
 partitioned by ``cell_id`` (Morton/Z-order — spatially clustered files, so
 bbox predicates prune partitions, the Iceberg hidden-partitioning idea on plain
-parquet). The GSAG `.grd` ASCII path replicates reference src/rastr/io_.py:138-187
-(Surfer ASCII grid: DSAA header, xlo xhi / ylo yhi / zlo zhi, rows bottom-up,
-NaN ↔ 1.70141e38 blanking value).
+parquet). Two driver-side interchange formats replicate the reference:
+
+- GeoTIFF (`.tif`): uncompressed single-band via the pure-numpy codec in
+  sources/geotiff.py (no GDAL needed) — reference src/rastr/io_.py:28-74/138-187,
+  verified against the reference's real asset golden (tests/rastr/test_io.py:35-54).
+- GSAG `.grd` ASCII (reference io_.py:138-187): Surfer grid, DSAA header,
+  xlo xhi / ylo yhi / zlo zhi, rows bottom-up, NaN ↔ 1.70141e38 blanking value.
 """
 
 from __future__ import annotations
@@ -47,23 +50,76 @@ def read_raster(spark: SparkSession, path: str | Path) -> RasterFrame:
 def read_raster_mosaic(spark: SparkSession, directory: str | Path, *, glob: str = "*") -> RasterFrame:
     """Glob a directory of persisted rasters, sort by stem, merge first-wins
     (reference ``read_raster_mosaic_inmem`` src/rastr/io_.py:77-135: alphabetical
-    stem order is the precedence order)."""
+    stem order is the precedence order). Members may be tile-store directories,
+    ``.tif`` files, or ``.grd`` files."""
     from ..operators.joins import mosaic
 
-    paths = sorted(
-        (p for p in Path(directory).glob(glob) if (p / "meta.json").exists()),
-        key=lambda p: p.stem,
-    )
+    def readable(p: Path) -> bool:
+        return (p / "meta.json").exists() or p.suffix.lower() in (".tif", ".tiff", ".grd")
+
+    paths = sorted((p for p in Path(directory).glob(glob) if readable(p)), key=lambda p: p.stem)
     if not paths:
         raise FileNotFoundError(f"no rasters matching {glob!r} under {directory}")
-    return mosaic([read_raster(spark, p) for p in paths])
+    return mosaic([read_file(spark, p) for p in paths])
 
 
-def to_file(rf: RasterFrame, path: str | Path) -> None:
-    """Extension-dispatched writer (reference ``Raster.to_file`` raster.py:819-830):
-    ``.grd`` → GSAG ASCII; anything else → parquet tile store directory."""
+def read_file(spark: SparkSession, path: str | Path, **kwargs) -> RasterFrame:
+    """Content-sniffing reader (GDAL semantics: format by magic bytes, not
+    extension — the reference's own ``.grd`` asset is a TIFF): TIFF magic →
+    GeoTIFF codec, ``DSAA`` → GSAG, directory → parquet tile store."""
     path = Path(path)
-    if path.suffix.lower() == ".grd":
+    if path.is_dir():
+        return read_raster(spark, path)
+    head = path.open("rb").read(4)
+    if head[:2] in (b"II", b"MM"):
+        return read_geotiff_raster(spark, path, **kwargs)
+    if head == b"DSAA":
+        return read_gsag(spark, path, **kwargs)
+    raise ValueError(f"unrecognized raster format: {path}")
+
+
+def read_geotiff_raster(
+    spark: SparkSession,
+    path: str | Path,
+    *,
+    crs: str | None = None,
+    tile_size: int = 256,
+) -> RasterFrame:
+    """GeoTIFF → RasterFrame via the pure-numpy codec (reference
+    ``read_raster_inmem`` io_.py:28-74: nodata→NaN, int→float16, crs override)."""
+    from .geotiff import read_geotiff
+
+    arr, transform, epsg, _ = read_geotiff(path)
+    if crs is None:
+        if epsg is None:
+            raise ValueError(
+                f"Invalid CRS from input raster and no override CRS provided (crs:{crs!r})."
+            )
+        crs = f"EPSG:{epsg}"
+    meta = RasterMeta(
+        abs(transform.a), crs, transform, arr.shape[0], arr.shape[1],
+        tile_size=tile_size, dtype=arr.dtype.name,
+    )
+    return RasterFrame.from_numpy(spark, arr, meta)
+
+
+def write_geotiff_raster(rf: RasterFrame, path: str | Path, *, nodata: float | None = None) -> None:
+    """RasterFrame → uncompressed GeoTIFF (collects — driver-side interchange for
+    modest rasters; the distributed persistent format is the parquet tile store)."""
+    from .geotiff import write_geotiff
+
+    write_geotiff(path, rf.to_numpy(), rf.meta.transform, rf.meta.crs, nodata=nodata)
+
+
+def to_file(rf: RasterFrame, path: str | Path, **kwargs) -> None:
+    """Extension-dispatched writer (reference ``Raster.to_file`` raster.py:819-830):
+    ``.tif``/``.tiff`` → GeoTIFF, ``.grd`` → GSAG ASCII; anything else → parquet
+    tile store directory."""
+    path = Path(path)
+    sfx = path.suffix.lower()
+    if sfx in (".tif", ".tiff"):
+        write_geotiff_raster(rf, path, **kwargs)
+    elif sfx == ".grd":
         write_gsag(rf, path)
     else:
         write_raster(rf, path)

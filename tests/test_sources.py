@@ -317,3 +317,100 @@ class TestStatefulStreaming:
         drain()
         assert len(got) == 1  # only the touched tile emitted
         assert got[0]["n_cells"] == 3 and got[0]["sum_value"] == 12.0  # 7 + 3 + 2
+
+
+class TestGeoTiff:
+    """Pure-numpy GeoTIFF codec vs the reference's REAL asset goldens
+    (reference tests/rastr/test_io.py:35-76) and RasterFrame round-trips."""
+
+    EXPECTED_T = (0.01495024875620743, 0.0, 173.7895771144279,
+                  0.0, -0.014950248756214535, -41.82587064676616)
+
+    def _check_asset(self, rf):
+        import numpy as np
+        assert rf.meta.height == 2 and rf.meta.width == 2
+        assert rf.meta.crs == "EPSG:4326"
+        t = rf.meta.transform
+        assert (t.a, t.b, t.c, t.d, t.e, t.f) == self.EXPECTED_T
+        assert rf.meta.cell_size == 0.01495024875620743
+        arr = rf.to_numpy()
+        np.testing.assert_allclose(
+            arr, [[0.39016372, 0.44069204], [0.41911235, 0.4411124]], rtol=1e-6
+        )
+
+    def test_reference_tif_asset_golden(self, spark):
+        from rastr_spark.sources.io import read_file
+        self._check_asset(read_file(spark, "/root/reference/tests/assets/pga_g_clipped.tif"))
+
+    def test_reference_grd_asset_content_sniffed(self, spark):
+        # the reference's .grd asset is ALSO a TIFF — GDAL dispatches on magic
+        # bytes; read_file must too
+        from rastr_spark.sources.io import read_file
+        self._check_asset(read_file(spark, "/root/reference/tests/assets/pga_g_clipped.grd"))
+
+    def test_tif_roundtrip_preserves_dtype_and_nan(self, spark, tmp_path):
+        import numpy as np
+        from rastr_spark.meta import Affine, RasterMeta
+        from rastr_spark.sources.io import read_file, to_file
+        from rastr_spark.tiles import RasterFrame
+
+        arr = np.array([[1.5, np.nan], [3.25, 4.0]], dtype=np.float32)
+        meta = RasterMeta(
+            2.0, "EPSG:2193", Affine(2, 0, 100, 0, -2, 50), 2, 2, tile_size=2, dtype="float32"
+        )
+        rf = RasterFrame.from_numpy(spark, arr, meta)
+        to_file(rf, tmp_path / "rt.tif")
+        back = read_file(spark, tmp_path / "rt.tif", tile_size=2)
+        assert back.meta.dtype == "float32"
+        assert back.meta.crs == "EPSG:2193"
+        assert back.meta.transform == meta.transform
+        out = back.to_numpy()
+        np.testing.assert_array_equal(np.isnan(arr), np.isnan(out))
+        np.testing.assert_array_equal(arr[~np.isnan(arr)], out[~np.isnan(out)])
+
+    def test_tif_nodata_sentinel(self, spark, tmp_path):
+        import numpy as np
+        from rastr_spark.meta import Affine, RasterMeta
+        from rastr_spark.sources.io import read_file, to_file
+        from rastr_spark.tiles import RasterFrame
+
+        arr = np.array([[1.0, np.nan]])
+        meta = RasterMeta(1.0, "EPSG:2193", Affine(1, 0, 0, 0, -1, 1), 1, 2, tile_size=2)
+        rf = RasterFrame.from_numpy(spark, arr, meta)
+        to_file(rf, tmp_path / "nd.tif", nodata=-9999.0)
+        raw = (tmp_path / "nd.tif").read_bytes()
+        assert b"-9999.0" in raw  # GDAL_NODATA tag carries the sentinel
+        back = read_file(spark, tmp_path / "nd.tif")
+        out = back.to_numpy()
+        assert out[0, 0] == 1.0 and np.isnan(out[0, 1])
+
+    def test_mosaic_of_tif_files(self, spark, tmp_path):
+        import numpy as np
+        from rastr_spark.meta import Affine, RasterMeta
+        from rastr_spark.sources.io import read_raster_mosaic, to_file
+        from rastr_spark.tiles import RasterFrame
+
+        meta = RasterMeta(1.0, "EPSG:2193", Affine(1, 0, 0, 0, -1, 2), 2, 2, tile_size=2)
+        a = RasterFrame.from_numpy(spark, np.array([[1.0, np.nan], [3.0, 4.0]]), meta, raster_id="a")
+        b = RasterFrame.from_numpy(spark, np.array([[10.0, 20.0], [30.0, 40.0]]), meta, raster_id="b")
+        to_file(a, tmp_path / "a_first.tif")
+        to_file(b, tmp_path / "b_second.tif")
+        out = read_raster_mosaic(spark, tmp_path, glob="*.tif")
+        np.testing.assert_array_equal(out.to_numpy(), [[1.0, 20.0], [3.0, 4.0]])
+
+    def test_unsupported_compression_raises(self, tmp_path):
+        import struct
+        import pytest
+        from rastr_spark.sources.geotiff import GeoTiffFormatError, read_geotiff
+
+        # minimal TIFF with Compression=5 (LZW): must refuse loudly
+        bo = "<"
+        entries = []
+        for tag, typ, val in [(256, 3, 1), (257, 3, 1), (258, 3, 32), (259, 3, 5)]:
+            entries.append(struct.pack(bo + "HHI", tag, typ, 1) + struct.pack(bo + "I", val))
+        buf = struct.pack(bo + "2sHI", b"II", 42, 8)
+        buf += struct.pack(bo + "H", len(entries)) + b"".join(entries) + struct.pack(bo + "I", 0)
+        p = tmp_path / "lzw.tif"
+        p.write_bytes(buf)
+        with pytest.raises(GeoTiffFormatError, match="compression"):
+            read_geotiff(p)

@@ -823,6 +823,17 @@ def _q_srp_topk(spark, sf_dir):
     return out.select("query_id", "vec_id", "rank", F.round("score", 6).alias("score"))
 
 
+def _q_ivf_topk(spark, sf_dir):
+    # IVF: seeded data-sampled centroids + 2 Lloyd iterations; nprobe=4 of 8
+    # lists, vectors multi-assigned to 2 lists. Recall-vs-brute >= 0.9 is
+    # asserted in tests/test_similarity.py; rows-only here (pandas-UDF assign
+    # has no SQL twin).
+    e = _read(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = S.ivf_topk(e, qs, 5, n_centroids=8, nprobe=5, n_assign=2)
+    return out.select("query_id", "vec_id", "rank", F.round("score", 6).alias("score"))
+
+
 def _q_contour(spark, sf_dir):
     """Contour extraction summary (stitch order is not canonical → aggregate form)."""
     rf = _lineitem_raster(spark, sf_dir)
@@ -918,6 +929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_simhash,
         "dedup_simhash_hamming": _q_simhash_hamming,  # xxhash64-based simhash
         "sim_srp_topk": _q_srp_topk,
+        "sim_ivf_topk": _q_ivf_topk,
         "multimodal_image_features": _q_multimodal_features,
         "raster_contour_summary": _q_contour,
         "raster_point_cloud_interp": _q_point_cloud,

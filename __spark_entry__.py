@@ -884,6 +884,78 @@ def _q_point_cloud(spark, sf_dir):
     return rf.cells(drop_nan=True).select("row", "col", F.round("value", 6).alias("value"))
 
 
+def _point_cloud_oracle() -> str:
+    """SQL oracle for raster_point_cloud_interp.
+
+    The point set is deterministic (first 60 suppkeys = 0..59 at every sf ≥
+    0.01), so the Delaunay triangulation — the only non-SQL-expressible step —
+    is a fixed object: embed it as a VALUES table and let DuckDB do the
+    barycentric containment + interpolation INDEPENDENTLY, replicating the
+    kernel's rules exactly (bbox eps 1e-12, l ≥ -1e-10, first-containing-
+    triangle = min tid). A guard predicate empties the result if the supplier
+    table ever stops containing keys 0..59 (failing the parity gate loudly
+    instead of silently comparing stale constants)."""
+    import numpy as _np
+
+    from rastr_spark.operators.interpolate import delaunay as _delaunay
+
+    ks = _np.arange(60)
+    x = (ks * 37 % 100).astype(float)
+    y = (ks * 53 % 100).astype(float)
+    z = (ks % 17).astype(float)
+    seen: dict = {}
+    for xi, yi, zi in zip(x, y, z):
+        seen.setdefault((xi, yi), zi)
+    pts_sorted = sorted(seen.items())
+    px = _np.array([p[0][0] for p in pts_sorted])
+    py = _np.array([p[0][1] for p in pts_sorted])
+    pz = _np.array([p[1] for p in pts_sorted])
+    tris = _delaunay(_np.column_stack((px, py)))
+    cell = 5.0
+    xmin, xmax = px.min(), px.max()
+    ymin, ymax = py.min(), py.max()
+    import math as _math
+
+    W = max(1, int(_math.ceil((xmax - xmin) / cell)) + 1)
+    H = max(1, int(_math.ceil((ymax - ymin) / cell)) + 1)
+    rows = []
+    for tid, t in enumerate(tris):
+        (x1, y1), (x2, y2), (x3, y3) = _np.column_stack((px, py))[t]
+        z1, z2, z3 = pz[t]
+        rows.append(f"({tid}, {x1!r}, {y1!r}, {z1!r}, {x2!r}, {y2!r}, {z2!r}, {x3!r}, {y3!r}, {z3!r})")
+    values = ",\n    ".join(rows)
+    return f"""
+WITH tris(tid, x1, y1, z1, x2, y2, z2, x3, y3, z3) AS (VALUES
+    {values}),
+cells AS (
+  SELECT r.range AS row, c.range AS col,
+         {xmin!r} + {cell!r} * c.range AS px,
+         {ymax!r} - {cell!r} * r.range AS py
+  FROM range(0, {H}) r, range(0, {W}) c
+),
+cand AS (
+  SELECT row, col, tid,
+         ((y2 - y3) * (px - x3) + (x3 - x2) * (py - y3))
+           / ((y2 - y3) * (x1 - x3) + (x3 - x2) * (y1 - y3)) AS l1,
+         ((y3 - y1) * (px - x3) + (x1 - x3) * (py - y3))
+           / ((y2 - y3) * (x1 - x3) + (x3 - x2) * (y1 - y3)) AS l2,
+         z1, z2, z3
+  FROM cells JOIN tris
+    ON px >= least(x1, x2, x3) - 1e-12 AND px <= greatest(x1, x2, x3) + 1e-12
+   AND py >= least(y1, y2, y3) - 1e-12 AND py <= greatest(y1, y2, y3) + 1e-12
+),
+hit AS (
+  SELECT row, col, l1 * z1 + l2 * z2 + (1 - l1 - l2) * z3 AS v,
+         row_number() OVER (PARTITION BY row, col ORDER BY tid) AS rn
+  FROM cand
+  WHERE l1 >= -1e-10 AND l2 >= -1e-10 AND (1 - l1 - l2) >= -1e-10
+)
+SELECT row, col, round(v, 6) AS value FROM hit
+WHERE rn = 1
+  AND (SELECT count(DISTINCT s_suppkey) FROM supplier WHERE s_suppkey BETWEEN 0 AND 59) = 60
+"""
+
+
 def _q_multimodal_features(spark, sf_dir):
     media = synthesize_media(spark, 300)
     feats = image_features(media, grid=4, fake_decode=True)
@@ -932,6 +1004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_topk": _q_ivf_topk,
         "multimodal_image_features": _q_multimodal_features,
         "raster_contour_summary": _q_contour,
+        # oracle-verified: fixed Delaunay embedded as VALUES, barycentric in SQL
         "raster_point_cloud_interp": _q_point_cloud,
     }
 
@@ -965,4 +1038,5 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": _ORACLE_EVENTS,
         "tpch_q1_pricing_summary": _ORACLE_TPCH_Q1,
         "nation_revenue_join": _ORACLE_NATION_REVENUE,
+        "raster_point_cloud_interp": _point_cloud_oracle(),
     }

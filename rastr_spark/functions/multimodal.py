@@ -75,17 +75,20 @@ def image_features(media: DataFrame, *, grid: int = 4, fake_decode: bool = True)
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, feats = [], []
-            for _, row in pdf.iterrows():
-                m = row["meta"]
+            # zip over raw numpy columns — decode is inherently per-image but
+            # per-row pandas Series construction (iterrows) is pure overhead
+            for mid, payload, m in zip(
+                pdf["media_id"].to_numpy(), pdf["payload"].to_numpy(), pdf["meta"].to_numpy()
+            ):
                 w = int(m["width"] or 16)
                 h = int(m["height"] or 16)
                 c = int(m["channels"] or 3)
-                img = decode_image(row["payload"], w, h, c, fake=fake_decode).astype(np.float32)
+                img = decode_image(payload, w, h, c, fake=fake_decode).astype(np.float32)
                 gh, gw = max(1, h // grid), max(1, w // grid)
                 img = img[: gh * grid, : gw * grid]
                 pooled = img.reshape(grid, gh, grid, gw, c).mean(axis=(1, 3, 4))
                 feats.append((pooled / 255.0).ravel().astype(np.float32))
-                ids.append(row["media_id"])
+                ids.append(mid)
             yield pd.DataFrame({"media_id": ids, "feature": feats})
 
     return media.filter(F.col("kind") == "image").select("media_id", "payload", "meta").mapInPandas(

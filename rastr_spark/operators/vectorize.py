@@ -208,10 +208,13 @@ def contour_lines(rf: RasterFrame, levels, *, smoothing: bool = True) -> DataFra
         r0, c0 = tr * Tsz, tc * Tsz
         th, tw = min(Tsz, H - r0), min(Tsz, W - c0)
         padded = np.full((th + 2, tw + 2), np.nan)
-        for _, m in pdf.iterrows():
-            rr = int(m["gr0"]) - (r0 - 1)
-            cc = int(m["gc0"]) - (c0 - 1)
-            frag = np.asarray(m["strip"], dtype=np.float64).reshape(int(m["n_rows"]), int(m["n_cols"]))
+        for gr0, gc0, n_rows, n_cols, strip in zip(
+            pdf["gr0"].to_numpy(), pdf["gc0"].to_numpy(),
+            pdf["n_rows"].to_numpy(), pdf["n_cols"].to_numpy(), pdf["strip"].to_numpy(),
+        ):
+            rr = int(gr0) - (r0 - 1)
+            cc = int(gc0) - (c0 - 1)
+            frag = np.asarray(strip, dtype=np.float64).reshape(int(n_rows), int(n_cols))
             padded[rr : rr + frag.shape[0], cc : cc + frag.shape[1]] = frag
         recs = []
         # blocks owned by this tile: top-left sample (r, c) with r in [r0, r0+th),

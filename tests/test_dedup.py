@@ -167,3 +167,19 @@ class TestTextCorpusGenerator:
         corpus = generate_text_corpus(spark, 100, dup_every=10)
         groups = D.exact_duplicates(corpus).collect()
         assert len(groups) == 10 and all(g["dup_count"] == 2 for g in groups)
+
+
+class TestHashGrams:
+    def test_hash_grams_matches_string_grams(self, spark):
+        rows = [(i, f"alpha beta gamma delta doc{i} epsilon zeta") for i in range(20)]
+        rows += [(100, "x y z w v u"), (101, "x y z w v u"), (102, "x y z q r s")]
+        docs = _docs(spark, rows)
+        a = {
+            (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+            for r in D.ngram_jaccard_pairs(docs, n=3, threshold=0.2).collect()
+        }
+        b = {
+            (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+            for r in D.ngram_jaccard_pairs(docs, n=3, threshold=0.2, hash_grams=True).collect()
+        }
+        assert a == b and (100, 101) in a

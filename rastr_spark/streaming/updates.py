@@ -134,3 +134,32 @@ def run_to_memory(stats: DataFrame, query_name: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_dedup_exact(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: keep ONE representative of each distinct text.
+
+    The streaming member of the dedup family (functions/dedup.py): rows are
+    keyed by the xxhash64 content fingerprint and deduplicated with
+    ``dropDuplicatesWithinWatermark`` — state for a fingerprint is dropped once
+    the watermark passes it, so state size is bounded by the dedup horizon
+    instead of growing with the stream (the property that lets this run
+    forever on an ingest firehose). Duplicates arriving within the watermark
+    window of each other are guaranteed to be caught (within one micro-batch the
+    surviving row is an arbitrary member of the group — Spark's documented
+    dropDuplicates semantics); re-occurrences farther apart than the horizon
+    are a deliberate trade-off (dedup horizon = watermark), exactly like any
+    TTL'd streaming dedup.
+    """
+    return (
+        docs.withColumn("_fp", F.xxhash64(F.col(text_col)))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_fp"])
+        .drop("_fp")
+    )

@@ -60,6 +60,16 @@ class TestJoinShapes:
         p = plan(salted)
         assert "salt" in p, f"salted flagship plan lost its salt key:\n{p}"
 
+    def test_mosaic_and_resample_shapes(self, spark, rf):
+        from rastr_spark.meta import Affine, RasterMeta
+        from rastr_spark.operators.joins import mosaic
+        from rastr_spark.operators.resample import resample
+
+        m = plan(mosaic([rf, rf]).df)
+        assert "CartesianProduct" not in m and "NestedLoop" not in m, m
+        r = plan(resample(rf, 2.0).df)
+        assert "CartesianProduct" not in r and "NestedLoop" not in r, r
+
     def test_sample_join_is_hash_based(self, spark, rf):
         from rastr_spark.operators.joins import sample_df
 

@@ -105,6 +105,43 @@ class TestStreaming:
         assert out[(1, 1)]["cnt"] == 1 and out[(1, 1)]["s"] == 5.0
 
 
+class TestStreamingDedup:
+    def test_first_arrival_kept_dups_dropped(self, spark, tmp_path):
+        from rastr_spark.streaming.updates import streaming_dedup_exact
+
+        src = tmp_path / "docs_stream"
+        src.mkdir()
+        rows = [
+            ("2024-01-01 00:00:01", 0, "alpha beta"),
+            ("2024-01-01 00:00:02", 1, "alpha beta"),   # dup of 0 within watermark
+            ("2024-01-01 00:00:03", 2, "gamma delta"),
+            ("2024-01-01 00:00:04", 3, "alpha beta"),   # another dup
+            ("2024-01-01 00:00:05", 4, "epsilon"),
+        ]
+        spark.createDataFrame(rows, "ts string, doc_id long, text string").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        ).write.parquet(str(src / "b1"))
+        stream = spark.readStream.schema("ts timestamp, doc_id long, text string").parquet(
+            str(src / "*")
+        )
+        out = streaming_dedup_exact(stream, watermark="10 minutes")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("dedup_stream_test")
+            .outputMode("append")  # dedup emits first-seen rows immediately
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        got = {r["doc_id"]: r["text"] for r in spark.sql("select * from dedup_stream_test").collect()}
+        assert set(got.values()) == {"alpha beta", "gamma delta", "epsilon"}
+        # exactly one representative per distinct text (within one micro-batch
+        # the survivor is an arbitrary group member — documented Spark behavior)
+        assert len(got) == 3
+        assert got[2] == "gamma delta" and got[4] == "epsilon"
+        assert set(got) & {0, 1, 3}  # the alpha-beta survivor is one of its dups
+
+
 class TestMultimodal:
     def test_decode_stub_raises(self):
         with pytest.raises(NotImplementedError):

@@ -152,6 +152,14 @@ class TestGeometry:
         np.testing.assert_allclose(sm[-1], xy[-1])
         assert len(sm) > len(xy)
 
+    def test_catmull_rom_closed_ring_stays_closed(self):
+        # reference contract (tests/rastr/gis/test_smooth.py:21-29): smoothing a
+        # closed line must keep first == last
+        xy = np.array([[0.0, 0.0], [1.0, 2.0], [2.0, 0.0], [0.0, 0.0]])
+        sm = catmull_rom_smooth(xy, 8)
+        np.testing.assert_allclose(sm[0], sm[-1])
+        assert len(sm) > len(xy)
+
 
 class TestFishnet:
     def test_point_grid_shape_isclose_guard(self):

@@ -385,6 +385,23 @@ class TestGeoTiff:
         from rastr_spark.sources.io import read_file
         self._check_asset(read_file(spark, "/root/reference/tests/assets/pga_g_clipped.grd"))
 
+    def test_reference_writer_regression_asset(self, spark):
+        # the file rasterio itself wrote in the reference's writer regression
+        # (tests/rastr/regression_test_data/test_write_raster_to_file.tif):
+        # 2×2 [[1,2],[3,4]] float64, EPSG:2193, cell 10 — our codec must read
+        # the real-GDAL artifact, not just its own output
+        import numpy as np
+        from rastr_spark.sources.io import read_file
+
+        rf = read_file(
+            spark, "/root/reference/tests/rastr/regression_test_data/test_write_raster_to_file.tif"
+        )
+        assert rf.meta.crs == "EPSG:2193"
+        assert rf.meta.cell_size == 10.0
+        t = rf.meta.transform
+        assert (t.a, t.b, t.c, t.d, t.e, t.f) == (10.0, 0.0, 0.0, 0.0, -10.0, 0.0)
+        np.testing.assert_array_equal(rf.to_numpy(), [[1.0, 2.0], [3.0, 4.0]])
+
     def test_tif_roundtrip_preserves_dtype_and_nan(self, spark, tmp_path):
         import numpy as np
         from rastr_spark.meta import Affine, RasterMeta

@@ -394,6 +394,17 @@ WHERE i::double / (sa.n + sb.n - i) >= 0.5
 """
 
 
+def _q_ngram_jaccard_fast(spark, sf_dir):
+    # production path: 8-byte xxhash64 gram keys on the shuffle/join instead of
+    # gram strings. No DuckDB xxhash64 → rows-only; hash-vs-string equality is
+    # covered in tests (test_dedup) and the string variant IS hash-oracled.
+    d = _read(spark, sf_dir, "documents")
+    out = D.ngram_jaccard_pairs(
+        d, n=3, threshold=0.5, max_doc_freq=_JACCARD_MAX_DF, hash_grams=True
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 def _q_token_stats(spark, sf_dir):
     d = _read(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(TXT.tokens(F.col("text"))).alias("tok"))
@@ -796,20 +807,78 @@ WHERE (x > 10 AND x < 100 AND y > 10 AND y < 80)
 """
 
 
-# -- rows-only queries (no SQL-expressible oracle) ---------------------------
+# -- flagship: oracled via a materialized doc table --------------------------
+
+_FLAGSHIP_DOCS_PATH = "/tmp/rastr_spark_oracle_flagship_docs"
+_FLAGSHIP_N_DOCS = 2000
+
 
 def _q_flagship(spark, sf_dir):
+    """Flagship with a DuckDB twin: generate_documents is materialized to
+    parquet, and the oracle replays the ENTIRE pipeline (span explode →
+    media_ref split → per-(tile, zone) PIP partials → join → final agg) from
+    that artifact in SQL — the PIP here is axis-aligned boxes on cell centres,
+    fully expressible with inequality predicates. Values are exact: lineitem
+    quantities are integers, so every partial sum is an integer-valued double
+    in both engines."""
     rf = _lineitem_raster(spark, sf_dir)
     docs = generate_documents(
-        spark, 2000, seed=42, n_tile_rows=META.n_tile_rows, n_tile_cols=META.n_tile_cols,
-        raster_id="li", world_size=WORLD,
+        spark, _FLAGSHIP_N_DOCS, seed=42, n_tile_rows=META.n_tile_rows,
+        n_tile_cols=META.n_tile_cols, raster_id="li", world_size=WORLD,
     )
+    docs.write.mode("overwrite").parquet(_FLAGSHIP_DOCS_PATH)
+    docs = spark.read.parquet(_FLAGSHIP_DOCS_PATH)
     zones = [(zid, Geometry.box(*bb)) for zid, bb in _ZONES]
     out = doc_zonal_stats(docs, rf, zones, salt_threshold=200)
+    # mean is NOT rounded: sums and counts are exact integers in doubles, so the
+    # single IEEE division is bit-identical across engines — rounding would
+    # INTRODUCE mismatches at half-ties (Spark half-up vs DuckDB half-even)
     return out.select(
         "zone_id", "doc_id", "cell_count",
-        F.round("sum", 4).alias("sum_v"), F.round("mean", 6).alias("mean_v"),
+        F.round("sum", 4).alias("sum_v"), F.col("mean").alias("mean_v"),
     )
+
+
+_ORACLE_FLAGSHIP = f"""
+WITH docs AS (SELECT * FROM read_parquet('{_FLAGSHIP_DOCS_PATH}/*.parquet')),
+s AS (SELECT doc_id, unnest(spans) AS sp FROM docs),
+refs AS (
+  SELECT doc_id,
+         CAST(string_split(sp.media_ref, '/')[2] AS INT) AS tile_row,
+         CAST(string_split(sp.media_ref, '/')[3] AS INT) AS tile_col
+  FROM s
+  WHERE sp.kind = 'media' AND string_split(sp.media_ref, '/')[1] = 'li'
+),
+cells AS ({_CELLS_SQL}),
+cent AS (
+  SELECT value, col*8 + 4.0 AS x, 512.0 - row*8 - 4.0 AS y,
+         CAST(row // {TILE} AS INT) AS tile_row, CAST(col // {TILE} AS INT) AS tile_col
+  FROM cells
+),
+zones AS (
+  SELECT 'nw' AS zone_id, 0.0 xmin, 256.0 ymin, 256.0 xmax, 512.0 ymax UNION ALL
+  SELECT 'ne', 256.0, 256.0, 512.0, 512.0 UNION ALL
+  SELECT 'sw', 0.0, 0.0, 256.0, 256.0 UNION ALL
+  SELECT 'se', 256.0, 0.0, 512.0, 256.0
+),
+partials AS (
+  SELECT c.tile_row, c.tile_col, z.zone_id, count(*) AS cnt, sum(c.value) AS s
+  FROM cent c JOIN zones z
+    ON c.x > z.xmin AND c.x < z.xmax AND c.y > z.ymin AND c.y < z.ymax
+  GROUP BY 1, 2, 3
+),
+joined AS (
+  SELECT r.doc_id, p.zone_id, p.cnt, p.s
+  FROM refs r JOIN partials p USING (tile_row, tile_col)
+)
+SELECT zone_id, doc_id, CAST(sum(cnt) AS BIGINT) AS cell_count,
+       round(sum(s), 4) AS sum_v, sum(s) / sum(cnt) AS mean_v
+FROM joined
+-- guard: empty the result (loud parity failure) if the materialized doc
+-- artifact is missing or stale instead of silently comparing garbage
+WHERE (SELECT count(*) FROM docs) = {_FLAGSHIP_N_DOCS}
+GROUP BY 1, 2
+"""
 
 
 def _q_simhash(spark, sf_dir):
@@ -823,8 +892,54 @@ def _q_srp_topk(spark, sf_dir):
     return out.select("query_id", "vec_id", "rank", F.round("score", 6).alias("score"))
 
 
+def _srp_oracle() -> str:
+    """SQL oracle for sim_srp_topk (the _point_cloud_oracle pattern: embed the
+    deterministic non-SQL object as VALUES).
+
+    The splitmix hyperplanes are a pure function of (seed=7, dim=64,
+    n_planes=6) — the 6×64 plane matrix is embedded as a VALUES table and
+    DuckDB recomputes bucket bits (sign of each projection), the bucket
+    equi-join, cosine, and the (score desc, vec_id) rank INDEPENDENTLY."""
+    planes = S._hyperplanes(64, 6, 7)
+    rows = [
+        f"({j}, {i + 1}, {float(planes[j, i])!r})"
+        for j in range(planes.shape[0])
+        for i in range(planes.shape[1])
+    ]
+    values = ",\n    ".join(rows)
+    return f"""
+WITH planes(j, i, w) AS (VALUES
+    {values}),
+comps AS (
+  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i, unnest(embedding)::double AS x
+  FROM embeddings
+),
+proj AS (
+  SELECT c.vec_id, p.j, sum(c.x * p.w) AS pr
+  FROM comps c JOIN planes p ON p.i = c.i
+  GROUP BY 1, 2
+),
+bkt AS (
+  SELECT vec_id, CAST(sum(CASE WHEN pr > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY 1
+),
+v AS (SELECT e.vec_id, e.embedding, b.bucket FROM embeddings e JOIN bkt b USING (vec_id)),
+q AS (SELECT vec_id AS qid, embedding AS qe, bucket FROM v WHERE vec_id < 10),
+pairs AS (SELECT v.vec_id, q.qid, v.embedding AS ve, q.qe AS qe FROM v JOIN q USING (bucket)),
+comp AS (
+  SELECT qid, vec_id, sum(a * b) AS dot, sum(a * a) AS na, sum(b * b) AS nb
+  FROM (SELECT qid, vec_id, unnest(ve)::double AS a, unnest(qe)::double AS b FROM pairs)
+  GROUP BY qid, vec_id
+)
+SELECT qid AS query_id, vec_id, rank, round(dot / (sqrt(na) * sqrt(nb)), 6) AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id) AS rank
+      FROM comp)
+WHERE rank <= 5
+"""
+
+
 def _q_ivf_topk(spark, sf_dir):
-    # IVF: seeded data-sampled centroids + 2 Lloyd iterations; nprobe=4 of 8
+    # IVF: seeded data-sampled centroids + 2 Lloyd iterations; nprobe=5 of 8
     # lists, vectors multi-assigned to 2 lists. Recall-vs-brute >= 0.9 is
     # asserted in tests/test_similarity.py; rows-only here (pandas-UDF assign
     # has no SQL twin).
@@ -922,8 +1037,12 @@ def _point_cloud_oracle() -> str:
     for tid, t in enumerate(tris):
         (x1, y1), (x2, y2), (x3, y3) = _np.column_stack((px, py))[t]
         z1, z2, z3 = pz[t]
-        rows.append(f"({tid}, {x1!r}, {y1!r}, {z1!r}, {x2!r}, {y2!r}, {z2!r}, {x3!r}, {y3!r}, {z3!r})")
+        # float() first: repr(np.float64(v)) is 'np.float64(v)' under numpy >= 2
+        # (invalid SQL); plain-float repr is round-trip exact either way
+        c9 = ", ".join(repr(float(v)) for v in (x1, y1, z1, x2, y2, z2, x3, y3, z3))
+        rows.append(f"({tid}, {c9})")
     values = ",\n    ".join(rows)
+    xmin, ymax = float(xmin), float(ymax)
     return f"""
 WITH tris(tid, x1, y1, z1, x2, y2, z2, x3, y3, z3) AS (VALUES
     {values}),
@@ -988,6 +1107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_rasterize_boxes": _q_rasterize_boxes,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
+        "dedup_ngram_jaccard_fast": _q_ngram_jaccard_fast,  # xxhash64 keys: rows-only
         "dedup_minhash_lsh": _q_minhash_lsh,
         "text_token_stats": _q_token_stats,
         "text_quality_langid": _q_quality_langid,
@@ -995,12 +1115,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _q_events_hourly,
         "tpch_q1_pricing_summary": _q_tpch_q1,
         "nation_revenue_join": _q_nation_revenue,
-        # rows-only (no SQL-expressible oracle):
+        # oracle-verified via materialized doc artifact (see _ORACLE_FLAGSHIP):
         "flagship_doc_zonal": _q_flagship,
+        # oracle-verified: deterministic hyperplanes embedded as SQL VALUES
+        "sim_srp_topk": _q_srp_topk,
+        # rows-only (no SQL-expressible oracle):
         "dedup_minhash_fast": _q_minhash_fast,  # xxhash64: not in DuckDB; md5 twin IS oracled
         "dedup_simhash": _q_simhash,
         "dedup_simhash_hamming": _q_simhash_hamming,  # xxhash64-based simhash
-        "sim_srp_topk": _q_srp_topk,
         "sim_ivf_topk": _q_ivf_topk,
         "multimodal_image_features": _q_multimodal_features,
         "raster_contour_summary": _q_contour,
@@ -1039,4 +1161,6 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q1_pricing_summary": _ORACLE_TPCH_Q1,
         "nation_revenue_join": _ORACLE_NATION_REVENUE,
         "raster_point_cloud_interp": _point_cloud_oracle(),
+        "sim_srp_topk": _srp_oracle(),
+        "flagship_doc_zonal": _ORACLE_FLAGSHIP,
     }

@@ -9,6 +9,12 @@ The flagship query is the BASELINE.json metric: docs → media_ref→tile resolu
 PIP join against broadcast polygons → zonal stats per (zone, doc), measured as
 docs/sec around the triggering action only (inputs pre-materialized + cached).
 Run scripts/scaling_run.py for the N-vs-4N parallelism evidence (BASELINE.md).
+
+Measurement protocol: MIN of ``SPARK_GRAFT_BENCH_REPS`` (default 3) fresh runs
+per query, all walls recorded in the artifact under ``all_walls``. The host's
+CPU availability drifts ±4× minute-to-minute (BASELINE.md's noise study), so a
+single sample cannot distinguish a regression from throttling — min-of-k is the
+same protocol scripts/scaling_run.py uses for the scaling evidence.
 """
 
 from __future__ import annotations
@@ -96,10 +102,17 @@ def build_bench_raster(spark: SparkSession) -> RasterFrame:
     return RasterFrame(df, BENCH_META, "bench")
 
 
-def timed(fn):
-    t0 = time.time()
-    n = fn()
-    return time.time() - t0, n
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
+
+def timed(fn, reps: int = REPS):
+    """(min wall, [all walls]) over ``reps`` fresh executions of ``fn``."""
+    walls = []
+    for _ in range(reps):
+        t0 = time.time()
+        fn()
+        walls.append(round(time.time() - t0, 3))
+    return min(walls), walls
 
 
 def main():
@@ -138,9 +151,13 @@ def main():
     # warmup with the identical query (codegen/JIT/python-worker spin-up are
     # one-time session costs), then measure steady-state — same protocol as
     # scripts/scaling_run.py
+    all_walls: dict[str, list[float]] = {}
     doc_zonal_stats(docs, rf, zones, salt_threshold=20000).count()
-    t_flagship, _ = timed(lambda: doc_zonal_stats(docs, rf, zones, salt_threshold=20000).count())
+    t_flagship, walls = timed(
+        lambda: doc_zonal_stats(docs, rf, zones, salt_threshold=20000).count()
+    )
     results["flagship_doc_zonal"] = round(t_flagship, 3)
+    all_walls["flagship_doc_zonal"] = walls
     docs_per_sec = n_docs / t_flagship
 
     # -- raster operator suite on the sf tables ---------------------------------
@@ -155,12 +172,16 @@ def main():
         # deliberately not benched — it hashes hex strings per (gram, hash fn).
         "dedup_minhash_fast",
         "dedup_ngram_jaccard",
+        # the production Jaccard path (hash_grams=True: 8-byte xxhash64 shuffle
+        # keys instead of gram strings) benched alongside the oracle variant
+        "dedup_ngram_jaccard_fast",
         "sim_embedding_topk",
         "text_token_stats",
         "tpch_q1_pricing_summary",
     ]:
-        t, _ = timed(lambda name=name: qs[name](spark, SF_DIR).count())
+        t, walls = timed(lambda name=name: qs[name](spark, SF_DIR).count())
         results[name] = round(t, 3)
+        all_walls[name] = walls
 
     # -- 1M-doc MinHash dedup (fast path): signature+banding throughput ---------
     # pre-materialized corpus (BASELINE protocol); agg over bucket forces the
@@ -173,20 +194,23 @@ def main():
         f"{docs_dir}/corpus"
     )
     corpus = spark.read.parquet(f"{docs_dir}/corpus")
-    t_dedup, _ = timed(
+    t_dedup, walls = timed(
         lambda: minhash_lsh_buckets(corpus, n=3, num_hashes=8, bands=4)
         .agg(F.countDistinct("bucket"))
         .collect()
     )
     results["dedup_minhash_1m"] = round(t_dedup, 3)
+    all_walls["dedup_minhash_1m"] = walls
 
     shutil.rmtree(docs_dir, ignore_errors=True)
     total = round(sum(results.values()), 3)
     out = {
-        "metric": "pip-join+zonal-stats end-to-end suite wall time",
+        "metric": "pip-join+zonal-stats end-to-end suite wall time (min of k)",
         "value": total,
         "unit": "sec",
         "queries": results,
+        "all_walls": all_walls,
+        "reps": REPS,
         "sf": SF_DIR,
         "cpus": CPUS,
         "n_docs": n_docs,

@@ -317,6 +317,7 @@ def simhash_hamming_pairs(
     bands: int = 4,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs (id_a < id_b) at simhash Hamming distance ≤ ``max_hamming``.
 
@@ -331,6 +332,16 @@ def simhash_hamming_pairs(
     Output: (id_a, id_b, hamming). Scale: each block bucket fans out like an
     LSH bucket; 2^(64/bands) distinct block values keep buckets tiny except for
     true near-dup clusters.
+
+    Degenerate-block guard (``max_bucket_size``): a block value shared by d
+    docs contributes O(d²) join rows — short/templated corpora can collapse a
+    block (e.g. every doc's low bits zero) and make ONE bucket quadratic, the
+    same failure mode the Jaccard path caps with ``max_doc_freq``. With the cap
+    set, a pre-pass counts (band, block) bucket sizes and buckets above the cap
+    are DROPPED from candidate generation (the other bands still recover a pair
+    unless every one of its agreeing blocks is degenerate-hot — recall loss is
+    confined to exactly the buckets that would not finish anyway). Bounds the
+    worst-case join fan-out at max_bucket_size² rows per bucket.
     """
     if not 0 <= max_hamming < bands:
         raise ValueError(f"need 0 <= max_hamming < bands (got r={max_hamming}, bands={bands})")
@@ -352,6 +363,14 @@ def simhash_hamming_pairs(
     b = sh.select("id", "simhash", F.explode(blocks_arr).alias("bb")).select(
         "id", "simhash", F.col("bb.band").alias("band"), F.col("bb.block").alias("block")
     )
+    if max_bucket_size is not None:
+        hot = (
+            b.groupBy("band", "block")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > max_bucket_size)
+            .select("band", "block")
+        )
+        b = b.join(F.broadcast(hot), ["band", "block"], "left_anti")
     a, c = b.alias("a"), b.alias("b")
     return (
         a.join(c, ["band", "block"])

@@ -71,7 +71,9 @@ def cosine_topk(
 
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     """Deterministic pseudo-random ±-ish hyperplanes from splitmix64 — no RNG state."""
-    idx = np.arange(dim * n_planes, dtype=np.uint64) + np.uint64(seed) * np.uint64(0x9E3779B97F4A7C15)
+    with np.errstate(over="ignore"):  # uint64 wraparound is the splitmix contract
+        seed_mix = np.uint64(seed) * np.uint64(0x9E3779B97F4A7C15)
+    idx = np.arange(dim * n_planes, dtype=np.uint64) + seed_mix
     x = idx
     x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
     x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
@@ -140,14 +142,30 @@ def embedding_near_dups(
     n_planes: int = 8,
     vec_id: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold, LSH-bucketed
-    (id_a < id_b). The embedding-space member of the dedup family."""
+    (id_a < id_b). The embedding-space member of the dedup family.
+
+    ``max_bucket_size``: degenerate-bucket guard — clustered embeddings can
+    collapse into one SRP bucket and make the self-join quadratic there. A
+    pre-pass counts bucket sizes and drops buckets above the cap from candidate
+    generation (same treatment as the Jaccard ``max_doc_freq`` and SimHash
+    ``max_bucket_size`` caps), bounding worst-case fan-out at
+    max_bucket_size² per bucket."""
     v = vectors.select(
         F.col(vec_id).alias("id"),
         F.col(vec_col).alias("v"),
         srp_bucket(F.col(vec_col), dim, n_planes=n_planes).alias("bucket"),
     )
+    if max_bucket_size is not None:
+        hot = (
+            v.groupBy("bucket")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > max_bucket_size)
+            .select("bucket")
+        )
+        v = v.join(F.broadcast(hot), "bucket", "left_anti")
     a, b = v.alias("a"), v.alias("b")
     return (
         a.join(b, "bucket")

@@ -92,6 +92,70 @@ def k_ring(code: int, k: int) -> np.ndarray:
     return morton_encode(rr.ravel(), cc.ravel())
 
 
+def morton_range_set(
+    tr0: int, tr1: int, tc0: int, tc1: int, *, max_ranges: int = 64
+) -> list[tuple[int, int]]:
+    """Inclusive Morton-code ranges covering the tile rectangle [tr0..tr1]×[tc0..tc1].
+
+    Budgeted quadtree decomposition: a quad fully inside the rectangle
+    contributes its whole contiguous code range [base, base + 4^level − 1];
+    partial quads recurse while a work budget (O(max_ranges)) lasts, then emit
+    their full quad range as a SUPERSET — still a valid pruning predicate, just
+    less tight. Work is therefore O(max_ranges · log extent) regardless of
+    rectangle size (a naive exact decomposition is O(extent) along boundary
+    rows — unusable for a 10⁶×10⁶-tile bbox). Adjacent ranges are coalesced;
+    if more than ``max_ranges`` survive, ranges separated by the smallest gaps
+    are merged.
+
+    This is the file-level pruning path for spatial reads: the tile store is
+    partitioned by ``cell_id`` (Morton), so ``cell_id BETWEEN lo AND hi``
+    predicates become PartitionFilters at the parquet scan.
+    """
+    if tr1 < tr0 or tc1 < tc0:
+        raise ValueError("empty tile rectangle")
+    if min(tr0, tc0) < 0:
+        raise ValueError("tile indices must be non-negative")
+    top = max(tr1, tc1).bit_length()  # quads of size 2^top cover the rectangle
+
+    out: list[tuple[int, int]] = []
+    budget = [max(64, 8 * max_ranges) if max_ranges < 2**30 else 2**62]
+
+    def rec(level: int, qr: int, qc: int) -> None:
+        size = 1 << level
+        r_lo, c_lo = qr * size, qc * size
+        r_hi, c_hi = r_lo + size - 1, c_lo + size - 1
+        if r_lo > tr1 or r_hi < tr0 or c_lo > tc1 or c_hi < tc0:
+            return
+        inside = r_lo >= tr0 and r_hi <= tr1 and c_lo >= tc0 and c_hi <= tc1
+        if inside or level == 0 or budget[0] <= 0:
+            # level-0 non-disjoint quads are single in-rect tiles (exact);
+            # budget-exhausted partial quads emit a superset range
+            base = int(morton_encode(np.array([r_lo]), np.array([c_lo]))[0])
+            out.append((base, base + size * size - 1))
+            return
+        budget[0] -= 1
+        # child order (0,0),(0,1),(1,0),(1,1) is ascending Morton order
+        for dr in (0, 1):
+            for dc in (0, 1):
+                rec(level - 1, qr * 2 + dr, qc * 2 + dc)
+
+    rec(top, 0, 0)
+    out.sort()
+    merged: list[list[int]] = []
+    for lo, hi in out:
+        if merged and lo <= merged[-1][1] + 1:
+            merged[-1][1] = max(merged[-1][1], hi)
+        else:
+            merged.append([lo, hi])
+    while len(merged) > max_ranges:
+        # merge across the smallest inter-range gap (superset, still prunes)
+        gaps = [(merged[i + 1][0] - merged[i][1], i) for i in range(len(merged) - 1)]
+        _, i = min(gaps)
+        merged[i][1] = merged[i + 1][1]
+        del merged[i + 1]
+    return [(lo, hi) for lo, hi in merged]
+
+
 def ring_offsets(k: int) -> np.ndarray:
     """(dr, dc) offsets of the k-ring (square Chebyshev ring), shape (n, 2)."""
     d = np.arange(-k, k + 1)

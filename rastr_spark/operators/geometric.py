@@ -37,10 +37,24 @@ def window(rf: RasterFrame, r0: int, r1: int, c0: int, c1: int, new_meta: Raster
     """Sub-window [r0..r1]×[c0..c1] (inclusive) re-tiled under ``new_meta``.
 
     Tile-level pruning first: only tiles overlapping the window are exploded.
+    The same rectangle is also expressed as Morton ``cell_id`` ranges
+    (grid.morton_range_set): on a persisted tile store partitioned by cell_id
+    these become PartitionFilters, so the crop prunes at the FILE level — the
+    tile_row/tile_col predicates alone are data filters that still read every
+    partition's footer.
     """
+    from functools import reduce
+
+    from ..grid import morton_range_set
+
     Tsz = rf.meta.tile_size
+    ranges = morton_range_set(r0 // Tsz, r1 // Tsz, c0 // Tsz, c1 // Tsz)
+    cell_pred = reduce(
+        lambda a, b: a | b, [F.col("cell_id").between(lo, hi) for lo, hi in ranges]
+    )
     pruned = rf.df.filter(
-        (F.col("tile_row") * Tsz <= r1)
+        cell_pred
+        & (F.col("tile_row") * Tsz <= r1)
         & ((F.col("tile_row") + 1) * Tsz > r0)
         & (F.col("tile_col") * Tsz <= c1)
         & ((F.col("tile_col") + 1) * Tsz > c0)

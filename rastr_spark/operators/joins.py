@@ -338,10 +338,16 @@ def knn_join(
     """k nearest points for each query point (north rule; SURVEY.md §2.3).
 
     Both sides are bucketed into a square grid of ``cell_size``; round i joins each
-    unresolved query against the (2·3^i+1)-ring of its bucket. A query resolves when
-    ≥k candidates are found AND the k-th distance ≤ the ring's guaranteed radius
-    (correctness: a closer point cannot hide outside the ring). Deterministic
-    tie-break: (distance, x, y). Returns query columns + neighbour x/y + distance + rank.
+    unresolved query against the NEW SHELL of its bucket only — cells at Chebyshev
+    distance in (3^(i-1), 3^i] — while the prior round's top-k candidates are
+    carried forward, so the inner square is never re-scanned (round 2 probes
+    7²−3² = 40 cells per query, not 49; round 4 probes 55²−19² instead of 55²).
+    Carrying exactly the prior top-k is lossless: distances are static, so a
+    candidate outside a round's top-k can never re-enter a later top-k. A query
+    resolves when ≥k candidates are found AND the k-th distance ≤ the ring's
+    guaranteed radius (correctness: a closer point cannot hide outside the ring).
+    Deterministic tie-break: (distance, x, y). Returns query columns + neighbour
+    x/y + distance + rank.
     """
     inv = 1.0 / cell_size
     p = points.select(
@@ -356,9 +362,10 @@ def knn_join(
         F.col(qy).cast("double").alias("_qy"),
     )
     results = None
-    radius = 1
+    radius, prev_radius = 1, 0
+    carry = None  # unresolved queries' top-k from prior rounds (already-scanned cells)
     for round_i in range(max_rounds):
-        ring = [(dr, dc) for dr in range(-radius, radius + 1) for dc in range(-radius, radius + 1)]
+        ring = _shell_offsets(radius, prev_radius)
         ring_df = F.array(*[F.struct(F.lit(a).alias("dy"), F.lit(b).alias("dx")) for a, b in ring])
         q = remaining.withColumn(
             "_qcx", F.floor(F.col("_qx") * inv).cast("long")
@@ -382,27 +389,45 @@ def knn_join(
                 + (F.col("_py") - F.col("_qy")) * (F.col("_py") - F.col("_qy"))
             ).alias("distance"),
         )
+        if carry is not None:
+            cand = cand.unionByName(carry)
         w = Window.partitionBy("_qid").orderBy("distance", "_px", "_py")
         topk = cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+        if round_i == max_rounds - 1:
+            # last round: everyone resolves with whatever was found — no per-query
+            # count pass, no isEmpty action (two fewer jobs than the naive loop)
+            results = topk if results is None else results.unionByName(topk)
+            break
         # resolved: k found and kth distance STRICTLY within the guaranteed radius —
         # an unseen point outside the ring is at Euclid ≥ radius·cell_size, so a
         # tie at exactly that distance could still lose to an unseen point under
         # the (distance, x, y) tie-break; strict < forces one more ring instead
         guaranteed = radius * cell_size
         per_q = topk.groupBy("_qid").agg(F.count("*").alias("n"), F.max("distance").alias("dk"))
-        if round_i == max_rounds - 1:
-            resolved_ids = per_q.select("_qid")
-        else:
-            resolved_ids = per_q.filter((F.col("n") >= k) & (F.col("dk") < guaranteed)).select("_qid")
+        resolved_ids = per_q.filter((F.col("n") >= k) & (F.col("dk") < guaranteed)).select("_qid")
         batch = topk.join(resolved_ids, "_qid", "left_semi")
         results = batch if results is None else results.unionByName(batch)
         remaining = remaining.join(resolved_ids, "_qid", "left_anti")
+        carry = topk.join(resolved_ids, "_qid", "left_anti").drop("rank")
         if remaining.isEmpty():
             break
+        prev_radius = radius
         radius *= 3
     return results.withColumnRenamed("_qid", query_id).withColumnRenamed("_qx", qx + "_q").withColumnRenamed(
         "_qy", qy + "_q"
     ).withColumnRenamed("_px", px + "_nn").withColumnRenamed("_py", py + "_nn")
+
+
+def _shell_offsets(radius: int, prev_radius: int) -> list[tuple[int, int]]:
+    """(dr, dc) offsets with Chebyshev distance in (prev_radius, radius] — the
+    cells a kNN round has NOT yet probed. prev_radius=0 yields the full square
+    including the centre."""
+    return [
+        (dr, dc)
+        for dr in range(-radius, radius + 1)
+        for dc in range(-radius, radius + 1)
+        if max(abs(dr), abs(dc)) > prev_radius or prev_radius == 0
+    ]
 
 
 def infer_cell_size_df(points: DataFrame, *, x: str = "x", y: str = "y") -> float:

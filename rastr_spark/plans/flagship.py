@@ -38,6 +38,16 @@ from ..meta import RasterMeta
 from ..sources.documents import media_refs
 from ..tiles import RasterFrame
 
+# Broadcast guard for the partials side of the flagship join: rows are bounded
+# by n_tiles × n_zones (× per-hot-tile salt fan-out). Below this row bound the
+# explicit broadcast hint is ESSENTIAL (the salt explode hides the side's size
+# from AQE and the refs side would shuffle — measured 33.4 → 20.3 s at
+# local[8]/2M docs); above it, ~8 scalar columns × 10⁷ rows approaches the
+# executor broadcast memory ceiling and the hint would ship gigabytes to every
+# executor (or OOM the driver) — the salted shuffle join is the correct plan
+# there, so the hint is dropped.
+BROADCAST_PARTIALS_MAX_ROWS = 10_000_000
+
 TILE_ZONE_PARTIAL_SCHEMA = T.StructType(
     [
         T.StructField("tile_row", T.IntegerType(), False),
@@ -149,7 +159,8 @@ def doc_zonal_stats(
     refs = media_refs(docs).filter(F.col("raster_id") == rf.raster_id)
     partials = tile_zone_partials(rf, zones)
     return _join_refs_partials(
-        refs, partials, salt_threshold=salt_threshold, salt_sample_fraction=salt_sample_fraction
+        refs, partials, salt_threshold=salt_threshold, salt_sample_fraction=salt_sample_fraction,
+        partials_rows_bound=rf.meta.n_tile_rows * rf.meta.n_tile_cols * len(zones),
     )
 
 
@@ -159,6 +170,7 @@ def _join_refs_partials(
     *,
     salt_threshold: int | None = None,
     salt_sample_fraction: float | None = 0.05,
+    partials_rows_bound: int | None = None,
 ) -> DataFrame:
     """The flagship's skew-aware join + final agg, shared by the one-shot and
     checkpointed plans (the resumable variant is exactly the run that needs skew
@@ -171,7 +183,15 @@ def _join_refs_partials(
     salt threshold appears ~0.05·threshold times in the sample; thresholds are
     ≫ 1/fraction). Set ``None`` for the exact pre-pass. Salting never affects
     results, only key fan-out — equality is covered by the salted-vs-unsalted
-    tests either way."""
+    tests either way.
+
+    ``partials_rows_bound``: driver-known row bound of the partials side
+    (n_tiles × n_zones — callers that hold the RasterMeta compute it for free).
+    The explicit broadcast hint is applied only below
+    ``BROADCAST_PARTIALS_MAX_ROWS``; above it (10⁶+ tiles × many zones) the
+    salted shuffle join runs instead. ``None`` keeps the hint (bound unknown —
+    the historical behavior for the checkpoint-resume path on already-
+    materialized tables, where the caller should pass the bound if known)."""
     if salt_threshold:
         if salt_sample_fraction and salt_sample_fraction < 1.0:
             sampled = refs.sample(fraction=salt_sample_fraction, seed=7)
@@ -209,12 +229,15 @@ def _join_refs_partials(
     else:
         join_keys = ["tile_row", "tile_col"]
 
-    # the partials side is bounded by n_tiles × n_zones (× salt fan-out) rows of
-    # 8 scalars — broadcastable by construction. Without the explicit hint the
-    # salted variant loses AQE's runtime broadcast conversion (the salt explode
-    # hides the size) and falls back to SHUFFLING the 10⁸-row refs side:
-    # measured 33.4 s → 20.3 s at local[8]/2M docs from this hint alone.
-    joined = refs.join(F.broadcast(partials), join_keys, "inner")
+    # Broadcast only when the driver-side bound says the partials side fits
+    # (see BROADCAST_PARTIALS_MAX_ROWS): below the bound the hint is a measured
+    # 1.6× win; above it the hint would be the scale-killer, so the salted
+    # shuffle join takes over.
+    broadcastable = (
+        partials_rows_bound is None or partials_rows_bound <= BROADCAST_PARTIALS_MAX_ROWS
+    )
+    right = F.broadcast(partials) if broadcastable else partials
+    joined = refs.join(right, join_keys, "inner")
     return (
         joined.groupBy("zone_id", "doc_id")
         .agg(
@@ -288,6 +311,7 @@ def flagship_checkpointed(
         return _join_refs_partials(
             refs_stage.df, partials_stage.df,
             salt_threshold=salt_threshold, salt_sample_fraction=salt_sample_fraction,
+            partials_rows_bound=rf.meta.n_tile_rows * rf.meta.n_tile_cols * len(zones),
         )
 
     final_stage = cm.run_stage(spark, "doc_zonal", input_fingerprint, build_final)

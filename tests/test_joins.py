@@ -179,6 +179,37 @@ class TestKnn:
         out = knn_join(pts, qs, 1, cell_size=2.0).collect()
         assert out[0]["x_nn"] == -1.0  # equal distance → smaller x wins
 
+    def test_shell_offsets_probe_only_new_cells(self):
+        # round 2 probes 7²−3² = 40 cells, not 49 (VERDICT r2 item 5); shells
+        # partition the final square exactly
+        from rastr_spark.operators.joins import _shell_offsets
+
+        assert len(_shell_offsets(1, 0)) == 9
+        assert len(_shell_offsets(3, 1)) == 49 - 9
+        assert len(_shell_offsets(9, 3)) == 361 - 49
+        union = set(_shell_offsets(1, 0)) | set(_shell_offsets(3, 1)) | set(_shell_offsets(9, 3))
+        full = {(a, b) for a in range(-9, 10) for b in range(-9, 10)}
+        assert union == full
+
+    def test_knn_multi_round_matches_brute_force(self, spark):
+        # queries spread so some resolve in round 1 and some need expansion;
+        # shell probing + carried candidates must equal the brute-force answer
+        import math
+
+        pts = [(float(i % 7) * 3.1, float(i * i % 11) * 2.7) for i in range(25)]
+        qs = [(i, float(i) * 4.0 - 10.0, float((i * 3) % 13)) for i in range(8)]
+        pdf = spark.createDataFrame(pts, "x double, y double")
+        qdf = spark.createDataFrame(qs, "query_id int, x double, y double")
+        out = knn_join(pdf, qdf, 3, cell_size=2.0, max_rounds=6).collect()
+        got = {}
+        for r in out:
+            got.setdefault(r["query_id"], []).append((r["rank"], r["x_nn"], r["y_nn"]))
+        for qid, qx, qy in qs:
+            want = sorted(
+                ((math.sqrt((px - qx) ** 2 + (py - qy) ** 2), px, py) for px, py in pts)
+            )[:3]
+            assert sorted(got[qid]) == [(i + 1, px, py) for i, (_, px, py) in enumerate(want)]
+
 
 class TestMosaic:
     def test_first_wins(self, spark):

@@ -150,3 +150,76 @@ class TestBucketedStore:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
             spark.sql("DROP TABLE IF EXISTS rb_a")
             spark.sql("DROP TABLE IF EXISTS rb_b")
+
+
+class TestFlagshipBroadcastGuard:
+    """VERDICT r2 item 2: the partials-side broadcast hint must be dropped when
+    the driver-side row bound (n_tiles × n_zones) exceeds
+    BROADCAST_PARTIALS_MAX_ROWS — at 10⁶+ tiles the 'bounded by construction'
+    side no longer fits a broadcast."""
+
+    def _refs_partials(self, spark, rf):
+        from rastr_spark.plans.flagship import tile_zone_partials
+        from rastr_spark.sources.documents import generate_documents, media_refs
+
+        docs = generate_documents(spark, 50, seed=1, n_tile_rows=2, n_tile_cols=2)
+        refs = media_refs(docs)
+        partials = tile_zone_partials(rf, [("z", Geometry.box(0, 0, 8, 8))])
+        return refs, partials
+
+    def test_broadcast_below_bound_shuffle_above(self, spark, rf):
+        from rastr_spark.plans.flagship import (
+            BROADCAST_PARTIALS_MAX_ROWS,
+            _join_refs_partials,
+        )
+
+        refs, partials = self._refs_partials(spark, rf)
+        # threshold -1 isolates the HINT: without it Catalyst's stats-based
+        # choice would broadcast the tiny test refs side on its own
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            below = plan(_join_refs_partials(refs, partials, partials_rows_bound=4))
+            assert "BroadcastHashJoin" in below, (
+                f"small partials side lost its broadcast:\n{below}"
+            )
+            above = plan(
+                _join_refs_partials(
+                    refs, partials, partials_rows_bound=BROADCAST_PARTIALS_MAX_ROWS + 1
+                )
+            )
+            assert "BroadcastHashJoin" not in above, (
+                f"partials side above the bound must NOT be broadcast-planned:\n{above}"
+            )
+            assert "SortMergeJoin" in above or "ShuffledHashJoin" in above, above
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    def test_results_identical_across_guard(self, spark, rf):
+        from rastr_spark.plans.flagship import _join_refs_partials
+
+        refs, partials = self._refs_partials(spark, rf)
+        a = _join_refs_partials(refs, partials, salt_threshold=1, partials_rows_bound=4)
+        b = _join_refs_partials(refs, partials, salt_threshold=1, partials_rows_bound=10**9)
+        ra = sorted(map(tuple, a.collect()))
+        rb = sorted(map(tuple, b.collect()))
+        assert ra == rb and len(ra) > 0
+
+
+class TestCropPartitionPruning:
+    def test_bbox_crop_prunes_store_partitions(self, spark, rf, tmp_path):
+        # VERDICT r2 item 9: a bbox crop over a persisted cell_id-partitioned
+        # store must prune at the FILE level (PartitionFilters on cell_id
+        # ranges), not just filter tile_row/tile_col after reading every footer
+        from rastr_spark.sources.io import read_raster, write_raster
+
+        write_raster(rf, tmp_path / "r")
+        back = read_raster(spark, tmp_path / "r")
+        q = back.crop((0.0, 4.0, 4.0, 8.0))  # top-left quarter → tile (0,0) only
+        p = plan(q.df)
+        assert "PartitionFilters" in p, p
+        seg = p.split("PartitionFilters")[1][:300]
+        assert "cell_id" in seg, f"crop did not push cell_id ranges to the scan:\n{seg}"
+        np.testing.assert_array_equal(
+            q.to_numpy(), np.arange(64.0).reshape(8, 8)[:4, :4]
+        )

@@ -77,3 +77,28 @@ class TestIVF:
         )
         sizes = {r["cid"]: r["n"] for r in v.groupBy("cid").agg(F.count("*").alias("n")).collect()}
         assert max(sizes.values()) < 500  # no single list swallowed the corpus
+
+
+class TestNearDupBucketCap:
+    def test_degenerate_bucket_dropped_small_pair_survives(self, spark):
+        from rastr_spark.functions.similarity import embedding_near_dups
+
+        # 200 identical vectors collapse into ONE SRP bucket (200² candidate
+        # blowup without the cap); with the cap their bucket is dropped while an
+        # opposite-direction near-dup pair (different bucket: every projection
+        # flips sign) is still recovered
+        rows = [(i, [1.0, 0.25, 0.5, 0.125]) for i in range(200)]
+        rows += [(1000, [-1.0, -0.25, -0.5, -0.125]), (1001, [-1.0, -0.2501, -0.5, -0.125])]
+        v = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = embedding_near_dups(
+            v, threshold=0.99, dim=4, n_planes=6, max_bucket_size=50
+        ).collect()
+        assert {(r["id_a"], r["id_b"]) for r in out} == {(1000, 1001)}
+
+    def test_cap_off_finds_cluster(self, spark):
+        from rastr_spark.functions.similarity import embedding_near_dups
+
+        rows = [(i, [1.0, 0.5, 0.25, 0.125]) for i in range(10)]
+        v = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = embedding_near_dups(v, threshold=0.99, dim=4, n_planes=6).collect()
+        assert len(out) == 45  # uncapped: full clique

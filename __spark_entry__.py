@@ -405,6 +405,84 @@ def _q_ngram_jaccard_fast(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _fuzzy_corpus(spark, sf_dir):
+    """documents + exact copies of docs 0-99 + near-copies (one appended token)
+    of docs 100-149 — exercises candidate generation, Jaccard verify, and
+    transitive clustering."""
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = d.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    near = d.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 150)).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), F.concat("text", F.lit(" zq")).alias("text")
+    )
+    return d.unionByName(exact).unionByName(near)
+
+
+def _q_dedup_fuzzy(spark, sf_dir):
+    # end-to-end fuzzy dedup: LSH candidates → exact Jaccard verify → connected
+    # components → canonical assignment. md5 hash family so DuckDB reproduces
+    # the candidate set bit-for-bit; production default is xxhash64.
+    d = _fuzzy_corpus(spark, sf_dir)
+    out = D.fuzzy_dedup_assign(
+        d, n=3, num_hashes=8, bands=4, threshold=0.5, hash_family="md5"
+    )
+    return out.select("doc_id", "canonical_id")
+
+
+_FUZZY_TOKS_SQL = """
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts FROM alldocs
+"""
+
+_ORACLE_DEDUP_FUZZY = f"""
+WITH RECURSIVE alldocs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 100
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text || ' zq' AS text
+  FROM documents WHERE doc_id >= 100 AND doc_id < 150
+),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(ts[g:g+2], ' ') AS gram
+  FROM (SELECT doc_id, ts, unnest(range(1, greatest(len(ts) - 1, 2))) AS g
+        FROM ({_FUZZY_TOKS_SQL}))
+  WHERE len(ts) >= 3
+),
+sig AS (SELECT doc_id, {", ".join(f"min(md5(gram || ':{i}')) AS h{i}" for i in range(8))}
+        FROM grams GROUP BY doc_id),
+bkt AS (
+  {" UNION ALL ".join(f"SELECT doc_id AS id, {bi} AS band, h{2*bi} || '|' || h{2*bi+1} AS bucket FROM sig" for bi in range(4))}
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bkt a JOIN bkt b USING (band, bucket) WHERE a.id < b.id
+),
+sizes AS (SELECT doc_id, count(*) AS ng FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c JOIN grams a ON a.doc_id = c.id_a JOIN grams b ON b.doc_id = c.id_b
+  WHERE a.gram = b.gram GROUP BY 1, 2
+),
+verified AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE i::double / (sa.ng + sb.ng - i) >= 0.5
+),
+edges AS (SELECT id_a AS u, id_b AS v FROM verified
+          UNION ALL SELECT id_b, id_a FROM verified),
+nodes AS (SELECT DISTINCT u AS node FROM edges),
+r(node, lab) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.u, r.lab FROM edges e JOIN r ON r.node = e.v
+),
+comp AS (SELECT node, min(lab) AS comp FROM r GROUP BY node)
+SELECT d.doc_id AS doc_id, coalesce(c.comp, d.doc_id) AS canonical_id
+FROM alldocs d LEFT JOIN comp c ON c.node = d.doc_id
+"""
+
+
 def _q_token_stats(spark, sf_dir):
     d = _read(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(TXT.tokens(F.col("text"))).alias("tok"))
@@ -425,6 +503,27 @@ SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct,
        round(avg(length(tok)), 6) AS avg_len,
        round(sum(CASE WHEN tok IN {_STOP_SQL} THEN 1 ELSE 0 END)::double / count(*), 6) AS stop_ratio
 FROM toks GROUP BY doc_id
+"""
+
+
+def _q_text_bpe_tokens(spark, sf_dir):
+    # BPE-style pre-tokenizer counts (token-budget estimation): JVM
+    # regexp_extract_all both sides; the regex is RE2/Java-portable (no
+    # backrefs/laziness)
+    d = _read(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TXT.bpe_token_count(F.col("text")).cast("long").alias("bpe_tokens"),
+        TXT.token_count(F.col("text")).cast("long").alias("ws_tokens"),
+    )
+
+
+_ORACLE_BPE_TOKENS = f"""
+SELECT doc_id,
+       len(list_filter(regexp_extract_all(text, '{TXT.BPE_PRETOKEN_RE.replace("'", "''")}', 1),
+                       t -> NOT regexp_matches(t, '^\\s+$'))) AS bpe_tokens,
+       len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS ws_tokens
+FROM documents
 """
 
 
@@ -1108,9 +1207,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         "dedup_ngram_jaccard_fast": _q_ngram_jaccard_fast,  # xxhash64 keys: rows-only
+        "dedup_fuzzy": _q_dedup_fuzzy,
         "dedup_minhash_lsh": _q_minhash_lsh,
         "text_token_stats": _q_token_stats,
         "text_quality_langid": _q_quality_langid,
+        "text_bpe_tokens": _q_text_bpe_tokens,
         "sim_embedding_topk": _q_embedding_topk,
         "events_hourly": _q_events_hourly,
         "tpch_q1_pricing_summary": _q_tpch_q1,
@@ -1153,9 +1254,11 @@ def oracle_sql() -> dict[str, str]:
         "raster_rasterize_boxes": _ORACLE_RASTERIZE,
         "dedup_exact": _ORACLE_DEDUP_EXACT,
         "dedup_ngram_jaccard": _ORACLE_JACCARD,
+        "dedup_fuzzy": _ORACLE_DEDUP_FUZZY,
         "dedup_minhash_lsh": _minhash_oracle(),
         "text_token_stats": _ORACLE_TOKEN_STATS,
         "text_quality_langid": _ORACLE_QUALITY,
+        "text_bpe_tokens": _ORACLE_BPE_TOKENS,
         "sim_embedding_topk": _ORACLE_TOPK,
         "events_hourly": _ORACLE_EVENTS,
         "tpch_q1_pricing_summary": _ORACLE_TPCH_Q1,

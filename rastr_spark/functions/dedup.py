@@ -383,3 +383,115 @@ def simhash_hamming_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    *,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """(node, comp) — comp = the minimum node id in each connected component.
+
+    Min-label propagation: every round each node takes the min label over
+    itself and its neighbors; converges in O(component diameter) rounds. For
+    the dedup use case that bound is tiny by construction — LSH banding creates
+    near-CLIQUE components (every member of a bucket pairs with every other),
+    so diameters are 1-3 regardless of corpus size; the loop detects the
+    fixpoint (one count job per round) and stops. Each round is one
+    shuffle-join + groupBy-min; labels are cached per round and the previous
+    round unpersisted, so lineage stays shallow.
+
+    Raises RuntimeError if not converged after ``max_iters`` — returning
+    un-converged labels would silently split components.
+    """
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    )
+    labels = nodes.withColumn("comp", F.col("node")).cache()
+    labels.count()
+    for _ in range(max_iters):
+        nbr_min = (
+            sym.join(labels.select(F.col("node").alias("v"), F.col("comp").alias("vc")), "v")
+            .groupBy("u")
+            .agg(F.min("vc").alias("nmin"))
+            .withColumnRenamed("u", "node")
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce("nmin", F.col("comp"))).alias("comp"),
+                (F.coalesce("nmin", F.col("comp")) < F.col("comp")).alias("_chg"),
+            )
+        ).cache()
+        changed = new_labels.filter(F.col("_chg")).count()
+        old = labels
+        labels = new_labels.drop("_chg")
+        old.unpersist()
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} rounds — "
+        "component diameter exceeds the bound; raise max_iters"
+    )
+
+
+def fuzzy_dedup_assign(
+    docs: DataFrame,
+    *,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_family: str = "xxhash64",
+    max_iters: int = 25,
+) -> DataFrame:
+    """End-to-end fuzzy dedup: (doc_id, canonical_id) for EVERY input doc.
+
+    The full training-data dedup endpoint, each stage the scale path:
+
+      1. candidates: MinHash-LSH banding (never all-pairs),
+      2. verify: exact word-n-gram Jaccard per candidate pair — computed
+         JVM-side with ``array_intersect`` over the two docs' (distinct) gram
+         arrays, no extra gram explode/shuffle (candidate count ≪ corpus²),
+      3. cluster: connected components over verified edges (near-clique
+         components from banding → 1-3 label-propagation rounds),
+      4. assign: canonical = min doc id of the cluster; singletons map to
+         themselves.
+
+    Keep-one-per-cluster filter: ``out.filter(F.col(id_col) ==
+    F.col("canonical_id"))`` semi-joined back to the docs.
+    """
+    cands = minhash_candidate_pairs(
+        docs, n=n, num_hashes=num_hashes, bands=bands,
+        id_col=id_col, text_col=text_col, hash_family=hash_family,
+    )
+    grams = docs.select(
+        F.col(id_col).alias("_gid"), word_ngrams(F.col(text_col), n).alias("_grams")
+    )
+    pairs = (
+        cands.join(grams.select(F.col("_gid").alias("id_a"), F.col("_grams").alias("_ga")), "id_a")
+        .join(grams.select(F.col("_gid").alias("id_b"), F.col("_grams").alias("_gb")), "id_b")
+    )
+    inter = F.size(F.array_intersect("_ga", "_gb"))
+    union = F.size("_ga") + F.size("_gb") - inter
+    edges = (
+        pairs.withColumn("_j", inter.cast("double") / union.cast("double"))
+        .filter(F.col("_j") >= threshold)
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(edges, max_iters=max_iters)
+    return docs.join(
+        comp.withColumnRenamed("node", id_col), id_col, "left"
+    ).select(
+        id_col, F.coalesce("comp", F.col(id_col)).alias("canonical_id")
+    )

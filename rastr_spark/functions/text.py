@@ -74,3 +74,28 @@ def doc_fingerprint(text: Column) -> Column:
     """Order-sensitive document fingerprint: xxhash64 rolling over the token stream
     (content-defined identity for exact/near-exact dedup bookkeeping)."""
     return F.xxhash64(F.concat_ws(" ", tokens(text)))
+
+
+# GPT-2-style pre-tokenizer shape (the public BPE pre-split regex, ASCII-class
+# form): contractions, letter runs, digit runs, punctuation runs — each with an
+# optional leading space — plus whitespace runs. A subword tokenizer's unit
+# count is ~proportional to these pre-tokens, which is what a token-budget
+# estimator needs; no vocabulary/merges are applied (those are model-specific).
+BPE_PRETOKEN_RE = "('s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+)"
+
+
+def bpe_pretokens(text: Column) -> Column:
+    """Array of BPE-style pre-tokens (JVM ``regexp_extract_all`` — no Python).
+
+    Whitespace-only matches are kept (they carry token-budget weight in
+    byte-level BPE); use :func:`bpe_token_count` for the usual estimate that
+    drops pure-whitespace runs.
+    """
+    return F.regexp_extract_all(text, F.lit(BPE_PRETOKEN_RE), 1)
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Estimated subword token count: BPE pre-tokens excluding pure-whitespace
+    runs. The whitespace-split ``token_count`` undercounts text with punctuation
+    or digit runs; this tracks what a real byte-level BPE tokenizer charges."""
+    return F.size(F.filter(bpe_pretokens(text), lambda t: ~t.rlike("^\\s+$")))

@@ -47,6 +47,110 @@ class GeoTiffFormatError(ValueError):
     pass
 
 
+# ---------------------------------------------------------------------------
+# TIFF-LZW codec (TIFF 6.0 §13): MSB-first bit packing, ClearCode 256, EOI 257,
+# 9→12-bit codes with the TIFF "early change" (width bumps one entry early).
+# Pure Python — a driver-side interchange path for modest rasters, like the
+# rest of this codec (the distributed format is the parquet tile store).
+# ---------------------------------------------------------------------------
+
+_LZW_CLEAR, _LZW_EOI = 256, 257
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    out = bytearray()
+    table: list[bytes] = []
+    width = 9
+
+    def reset() -> None:
+        nonlocal table, width
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+
+    reset()
+    prev: bytes | None = None
+    acc = nbits = i = 0
+    n = len(data)
+    while True:
+        while nbits < width:
+            if i >= n:
+                return bytes(out)  # stream may omit the trailing EOI
+            acc = (acc << 8) | data[i]
+            i += 1
+            nbits += 8
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == _LZW_CLEAR:
+            reset()
+            prev = None
+            continue
+        if code == _LZW_EOI:
+            return bytes(out)
+        if prev is None:
+            if code >= len(table):
+                raise GeoTiffFormatError("corrupt LZW stream (first code out of range)")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise GeoTiffFormatError("corrupt LZW stream (code beyond table)")
+        out += entry
+        prev = entry
+        # early change (TIFF 6.0 §13): the decoder's table lags the encoder's
+        # by one entry, so it widens at 510/1022/2046 — one entry before the
+        # encoder's 511/1023/2047 switch points
+        if len(table) >= (1 << width) - 2 and width < 12:
+            width += 1
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    res = bytearray()
+    acc = nbits = 0
+    width = 9
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            res.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    def fresh() -> dict[bytes, int]:
+        return {bytes([i]): i for i in range(256)}
+
+    d = fresh()
+    next_code = 258
+    emit(_LZW_CLEAR)
+    w = b""
+    for b in data:
+        wc = w + bytes([b])
+        if wc in d:
+            w = wc
+            continue
+        emit(d[w])
+        d[wc] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1  # early change, mirrored by the decoder
+        elif next_code == 4094:  # table nearly full → clear and restart
+            emit(_LZW_CLEAR)
+            d = fresh()
+            next_code = 258
+            width = 9
+        w = bytes([b])
+    if w:
+        emit(d[w])
+    emit(_LZW_EOI)
+    if nbits:
+        res.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(res)
+
+
 def _read_entries(buf: bytes, bo: str, off: int) -> dict[int, list]:
     (n,) = struct.unpack_from(bo + "H", buf, off)
     tags: dict[int, list] = {}
@@ -92,9 +196,9 @@ def read_geotiff(path: str | Path) -> tuple[np.ndarray, "object", int | None, fl
     width = int(tags[T_WIDTH][0])
     height = int(tags[T_HEIGHT][0])
     comp = int(tags.get(T_COMPRESSION, [1])[0])
-    if comp not in (1, 8, 32946):  # none / Adobe Deflate / legacy Deflate
+    if comp not in (1, 5, 8, 32946):  # none / LZW / Adobe Deflate / legacy Deflate
         raise GeoTiffFormatError(
-            f"compression {comp} unsupported (pure-numpy codec reads none/deflate)"
+            f"compression {comp} unsupported (pure-numpy codec reads none/lzw/deflate)"
         )
     predictor = int(tags.get(T_PREDICTOR, [1])[0])
     if predictor not in (1, 2, 3) or (predictor != 1 and comp == 1):
@@ -115,7 +219,10 @@ def read_geotiff(path: str | Path) -> tuple[np.ndarray, "object", int | None, fl
             return np.frombuffer(buf, dtype=dt, count=seg_h * seg_w, offset=off).reshape(
                 seg_h, seg_w
             )
-        raw = zlib.decompress(buf[off : off + nbytes])
+        if comp == 5:
+            raw = _lzw_decode(buf[off : off + nbytes])
+        else:
+            raw = zlib.decompress(buf[off : off + nbytes])
         if predictor == 2:
             # horizontal differencing on sample values: each row is cumsum'd back
             # (modular arithmetic in the native width — matches libtiff's wraparound)
@@ -255,10 +362,10 @@ def write_geotiff(
         raise GeoTiffFormatError(f"only EPSG CRS strings are writable (got {crs!r})")
     epsg = int(crs_s.split(":")[1])
 
-    if compression not in ("none", "deflate"):
-        raise GeoTiffFormatError(f"compression {compression!r} unsupported (none/deflate)")
-    if predictor not in (1, 3) or (predictor == 3 and compression != "deflate"):
-        raise GeoTiffFormatError("predictor must be 1, or 3 with deflate")
+    if compression not in ("none", "deflate", "lzw"):
+        raise GeoTiffFormatError(f"compression {compression!r} unsupported (none/deflate/lzw)")
+    if predictor not in (1, 3) or (predictor == 3 and compression == "none"):
+        raise GeoTiffFormatError("predictor must be 1, or 3 with deflate/lzw")
 
     bo = "<"
     h, w = arr.shape
@@ -281,6 +388,8 @@ def write_geotiff(
         data = le.tobytes()
     if compression == "deflate":
         data = zlib.compress(data, 6)
+    elif compression == "lzw":
+        data = _lzw_encode(data)
     bits = arr.dtype.itemsize * 8
     # geographic CRS codes live in 4000-4999 (EPSG geodetic range); everything
     # else is written as a projected CS — both keys are honored by the reader
@@ -297,7 +406,7 @@ def write_geotiff(
         (T_WIDTH, 4, [w]),
         (T_HEIGHT, 4, [h]),
         (T_BITS, 3, [bits]),
-        (T_COMPRESSION, 3, [8 if compression == "deflate" else 1]),
+        (T_COMPRESSION, 3, [{"none": 1, "lzw": 5, "deflate": 8}[compression]]),
         (T_PHOTOMETRIC, 3, [1]),  # BlackIsZero
         (T_STRIP_OFFSETS, 4, None),  # patched below
         (T_SAMPLES_PER_PIXEL, 3, [1]),

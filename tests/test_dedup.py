@@ -205,3 +205,53 @@ class TestSimHashBucketCap:
         docs = _docs(spark, rows)
         out = D.simhash_hamming_pairs(docs, max_hamming=1, bands=4).collect()
         assert len(out) == 12 * 11 // 2  # uncapped: full clique recovered
+
+
+class TestFuzzyDedup:
+    def test_connected_components_chain_and_star(self, spark):
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (10, 13)],
+            "id_a long, id_b long",
+        )
+        comp = {r["node"]: r["comp"] for r in D.connected_components(edges).collect()}
+        assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 13: 10}
+
+    def test_connected_components_raises_past_max_iters(self, spark):
+        # a 6-node path needs ~5 propagation rounds; max_iters=1 must refuse
+        # loudly rather than return split components
+        import pytest
+
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(6)], "id_a long, id_b long"
+        )
+        with pytest.raises(RuntimeError, match="converge"):
+            D.connected_components(edges, max_iters=1)
+
+    def test_fuzzy_dedup_assign_end_to_end(self, spark):
+        # 3 exact copies + 1 near copy (one appended token) cluster to the min
+        # id; an unrelated doc stays its own canonical
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        rows = [
+            (5, base),
+            (9, base),
+            (2, base),
+            (7, base + " extra"),
+            (30, "совершенно other content that shares zero grams at all"),
+        ]
+        docs = _docs(spark, rows)
+        out = {
+            r["doc_id"]: r["canonical_id"]
+            for r in D.fuzzy_dedup_assign(docs, n=3, num_hashes=8, bands=4, threshold=0.5).collect()
+        }
+        assert out == {5: 2, 9: 2, 2: 2, 7: 2, 30: 30}
+
+    def test_fuzzy_keep_one_per_cluster(self, spark):
+        from pyspark.sql import functions as F
+
+        rows = [(i, "identical body of text here okay") for i in range(6)] + [
+            (100, "another unique document body entirely different")
+        ]
+        docs = _docs(spark, rows)
+        assign = D.fuzzy_dedup_assign(docs, n=2, num_hashes=8, bands=4, threshold=0.9)
+        kept = assign.filter(F.col("doc_id") == F.col("canonical_id"))
+        assert sorted(r["doc_id"] for r in kept.collect()) == [0, 100]

@@ -116,3 +116,30 @@ class TestFlagship:
         assert_span_invariant(docs, docs)
         after = span_fingerprint(docs).collect()
         assert sorted(map(tuple, before)) == sorted(map(tuple, after))
+
+
+class TestBpePretokens:
+    def test_bpe_counts_punct_and_digits(self, spark):
+        from pyspark.sql import functions as F
+
+        from rastr_spark.functions.text import bpe_token_count, token_count
+
+        rows = [
+            (0, "hello world"),            # 2 pre-tokens
+            (1, "it's 2024, folks!"),      # it |'s | 2024|,| folks|! = 6
+            (2, "a  b"),                   # double space: 'a', ' b' (+ws dropped)
+            (3, ""),
+        ]
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r["doc_id"]: (r["bpe"], r["ws"])
+            for r in d.select(
+                "doc_id",
+                bpe_token_count(F.col("text")).alias("bpe"),
+                token_count(F.col("text")).alias("ws"),
+            ).collect()
+        }
+        assert out[0] == (2, 2)
+        assert out[1] == (6, 3)   # BPE charges punctuation/digit runs separately
+        assert out[2] == (2, 2)
+        assert out[3] == (0, 0)

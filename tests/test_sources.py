@@ -573,3 +573,33 @@ class TestGeoTiffDeflate:
         with pytest.raises(GeoTiffFormatError, match="predictor"):
             write_geotiff(tmp_path / "x.tif", np.zeros((2, 2)), Affine(1, 0, 0, 0, -1, 2),
                           "EPSG:2193", predictor=3)
+
+
+class TestGeoTiffLzw:
+    """Pure-Python TIFF-LZW (TIFF 6.0 §13: MSB-first, early change) — the other
+    dominant real-world GDAL compression next to deflate."""
+
+    def test_lzw_roundtrip_reference_golden(self, tmp_path):
+        import numpy as np
+        from rastr_spark.sources.geotiff import read_geotiff, write_geotiff
+
+        arr, t, epsg, _ = read_geotiff("/root/reference/tests/assets/pga_g_clipped.tif")
+        write_geotiff(tmp_path / "l.tif", arr, t, f"EPSG:{epsg}", compression="lzw")
+        arr2, t2, epsg2, _ = read_geotiff(tmp_path / "l.tif")
+        np.testing.assert_array_equal(arr, arr2)
+        assert t2 == t and epsg2 == epsg
+
+    def test_lzw_predictor3_roundtrip_crossing_code_widths(self, tmp_path):
+        # big enough that the LZW table crosses the 511/1023/2047 width bumps
+        import numpy as np
+        from rastr_spark.sources.geotiff import read_geotiff, write_geotiff
+        from rastr_spark.meta import Affine
+
+        g = (np.arange(128 * 100, dtype=np.float32) % 257).reshape(100, 128) / 3.0
+        g[3, 4] = np.nan
+        t = Affine(1.0, 0, 0.0, 0, -1.0, 100.0)
+        write_geotiff(tmp_path / "lp.tif", g, t, "EPSG:2193", compression="lzw", predictor=3)
+        back, t2, _, _ = read_geotiff(tmp_path / "lp.tif")
+        np.testing.assert_array_equal(np.isnan(g), np.isnan(back))
+        np.testing.assert_array_equal(g[~np.isnan(g)], back[~np.isnan(back)])
+        assert t2 == t

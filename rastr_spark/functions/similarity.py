@@ -302,3 +302,15 @@ def ivf_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def save_ivf_centroids(centroids: np.ndarray, path) -> None:
+    """Persist a trained IVF centroid matrix (.npy) — the index-reuse path:
+    train once on a corpus sample, then every query session (or incremental
+    ingest job) loads the same k×dim matrix and probes consistent lists."""
+    np.save(str(path), np.asarray(centroids, dtype=np.float64))
+
+
+def load_ivf_centroids(path) -> np.ndarray:
+    p = str(path)
+    return np.load(p if p.endswith(".npy") else p + ".npy")

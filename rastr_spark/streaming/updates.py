@@ -171,3 +171,61 @@ def streaming_dedup_exact(
         .dropDuplicatesWithinWatermark(["_fp", "_fp2", "_ln"])
         .drop("_fp", "_fp2", "_ln")
     )
+
+
+def streaming_minhash_buckets(
+    docs: DataFrame,
+    *,
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """MinHash-LSH buckets over a document STREAM.
+
+    Stateless: the signature/banding pipeline (functions/dedup.py
+    minhash_lsh_buckets) is pure projection — no state store, no watermark —
+    so it runs unbounded at ingest rate. Feeds a bucket-index sink, or
+    :func:`streaming_near_dup_hits` for online near-dup detection.
+    """
+    from ..functions.dedup import minhash_lsh_buckets
+
+    return minhash_lsh_buckets(
+        docs, n=n, num_hashes=num_hashes, bands=bands,
+        id_col=id_col, text_col=text_col, hash_family=hash_family,
+    )
+
+
+def streaming_near_dup_hits(
+    stream_docs: DataFrame,
+    reference_buckets: DataFrame,
+    *,
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Online near-dup detection: flag arriving docs whose LSH bucket collides
+    with a STATIC reference index (the already-ingested corpus's buckets, e.g.
+    from :func:`functions.dedup.minhash_lsh_buckets` persisted to parquet).
+
+    Stream-static inner equi-join on (band, bucket) — supported statelessly by
+    Structured Streaming; the static side is broadcast/shuffled per micro-batch
+    by the normal batch planner. Emits one row per (arriving doc, matching
+    reference doc, band); deduplicate downstream per consumer policy (a
+    blanket ``distinct`` would be stateful — left to the sink, where the
+    aggregation mode is known). The banding guarantee is the batch one: a
+    reference doc whose signature agrees on ≥1 band is emitted.
+    """
+    b = streaming_minhash_buckets(
+        stream_docs, n=n, num_hashes=num_hashes, bands=bands,
+        id_col=id_col, text_col=text_col, hash_family=hash_family,
+    ).withColumnRenamed("id", "stream_id")
+    ref = reference_buckets.select(
+        F.col("id").alias("ref_id"), "band", "bucket"
+    )
+    return b.join(ref, ["band", "bucket"]).select("stream_id", "ref_id", "band")

@@ -102,3 +102,25 @@ class TestNearDupBucketCap:
         v = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
         out = embedding_near_dups(v, threshold=0.99, dim=4, n_planes=6).collect()
         assert len(out) == 45  # uncapped: full clique
+
+
+class TestIvfPersistence:
+    def test_save_load_roundtrip_and_reuse(self, spark, tmp_path):
+        import numpy as np
+        from rastr_spark.functions.similarity import (
+            ivf_topk,
+            load_ivf_centroids,
+            save_ivf_centroids,
+            train_ivf_centroids,
+        )
+
+        rows = [(i, [float((i * 7 + j * 3) % 10) for j in range(8)]) for i in range(64)]
+        v = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        cents = train_ivf_centroids(v, n_centroids=4, seed=3, iters=1)
+        save_ivf_centroids(cents, tmp_path / "cents")
+        back = load_ivf_centroids(tmp_path / "cents")
+        np.testing.assert_array_equal(cents, back)
+        q = v.filter("vec_id < 3").withColumnRenamed("vec_id", "query_id")
+        a = ivf_topk(v, q, 3, centroids=cents, nprobe=2).collect()
+        b = ivf_topk(v, q, 3, centroids=back, nprobe=2).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))

@@ -457,10 +457,11 @@ class TestGeoTiff:
         import pytest
         from rastr_spark.sources.geotiff import GeoTiffFormatError, read_geotiff
 
-        # minimal TIFF with Compression=5 (LZW): must refuse loudly
+        # minimal TIFF with Compression=7 (JPEG): must refuse loudly
+        # (LZW and Deflate are now SUPPORTED — see TestGeoTiffDeflate/TestGeoTiffLzw)
         bo = "<"
         entries = []
-        for tag, typ, val in [(256, 3, 1), (257, 3, 1), (258, 3, 32), (259, 3, 5)]:
+        for tag, typ, val in [(256, 3, 1), (257, 3, 1), (258, 3, 32), (259, 3, 7)]:
             entries.append(struct.pack(bo + "HHI", tag, typ, 1) + struct.pack(bo + "I", val))
         buf = struct.pack(bo + "2sHI", b"II", 42, 8)
         buf += struct.pack(bo + "H", len(entries)) + b"".join(entries) + struct.pack(bo + "I", 0)
@@ -603,3 +604,39 @@ class TestGeoTiffLzw:
         np.testing.assert_array_equal(np.isnan(g), np.isnan(back))
         np.testing.assert_array_equal(g[~np.isnan(g)], back[~np.isnan(back)])
         assert t2 == t
+
+
+class TestStreamingNearDup:
+    def test_stream_docs_flagged_against_static_index(self, spark, tmp_path):
+        from rastr_spark.functions.dedup import minhash_lsh_buckets
+        from rastr_spark.streaming.updates import streaming_near_dup_hits
+
+        # static reference corpus → bucket index
+        ref_docs = spark.createDataFrame(
+            [(0, "alpha beta gamma delta epsilon zeta"),
+             (1, "totally unrelated reference content here")],
+            "doc_id long, text string",
+        )
+        ref_buckets = minhash_lsh_buckets(ref_docs, n=3, num_hashes=8, bands=4)
+
+        # stream: one near-dup of ref 0, one novel doc
+        src = tmp_path / "doc_stream"
+        src.mkdir()
+        spark.createDataFrame(
+            [(100, "alpha beta gamma delta epsilon zeta"),
+             (101, "novel words never seen before anywhere else")],
+            "doc_id long, text string",
+        ).write.parquet(str(src / "b1"))
+        stream = spark.readStream.schema("doc_id long, text string").parquet(str(src / "*"))
+        hits = streaming_near_dup_hits(stream, ref_buckets, n=3, num_hashes=8, bands=4)
+        q = (
+            hits.writeStream.format("memory").queryName("near_dup_hits")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(60)
+        got = {
+            (r["stream_id"], r["ref_id"])
+            for r in spark.sql("select * from near_dup_hits").collect()
+        }
+        assert (100, 0) in got           # exact copy collides on every band
+        assert all(s != 101 for s, _ in got)  # novel doc matches nothing

@@ -521,7 +521,7 @@ def _q_text_bpe_tokens(spark, sf_dir):
 _ORACLE_BPE_TOKENS = f"""
 SELECT doc_id,
        len(list_filter(regexp_extract_all(text, '{TXT.BPE_PRETOKEN_RE.replace("'", "''")}', 1),
-                       t -> NOT regexp_matches(t, '^\\s+$'))) AS bpe_tokens,
+                       t -> NOT regexp_matches(t, '^[{TXT._WS}]+$'))) AS bpe_tokens,
        len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS ws_tokens
 FROM documents
 """

@@ -243,12 +243,28 @@ def minhash_lsh_buckets(
 def minhash_candidate_pairs(
     docs: DataFrame, *, n: int = 3, num_hashes: int = 16, bands: int = 4,
     id_col: str = "doc_id", text_col: str = "text", hash_family: str = "xxhash64",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Distinct candidate pairs from shared LSH buckets (id_a < id_b)."""
+    """Distinct candidate pairs from shared LSH buckets (id_a < id_b).
+
+    ``max_bucket_size``: degenerate-bucket guard (same pattern as
+    simhash_hamming_pairs / embedding_near_dups) — buckets above the cap are
+    dropped from candidate generation, bounding the self-join at
+    max_bucket_size² rows per bucket. Recall loss is confined to pairs whose
+    EVERY agreeing band is degenerate-hot.
+    """
     b = minhash_lsh_buckets(
         docs, n=n, num_hashes=num_hashes, bands=bands,
         id_col=id_col, text_col=text_col, hash_family=hash_family,
     )
+    if max_bucket_size is not None:
+        hot = (
+            b.groupBy("band", "bucket")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > max_bucket_size)
+            .select("band", "bucket")
+        )
+        b = b.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
     a, c = b.alias("a"), b.alias("b")
     return (
         a.join(c, ["band", "bucket"])
@@ -405,6 +421,13 @@ def connected_components(
 
     Raises RuntimeError if not converged after ``max_iters`` — returning
     un-converged labels would silently split components.
+
+    Cache ownership: the RETURNED DataFrame is cached (the loop's fixpoint
+    check already materialized it; uncaching would make every downstream
+    action replay the whole iteration chain). The caller owns it — call
+    ``result.unpersist()`` once consumed in a long-lived session. All
+    intermediate rounds (and the last round on the error path) are
+    unpersisted here.
     """
     nodes = (
         edges.select(F.col(src).alias("node"))
@@ -423,20 +446,30 @@ def connected_components(
             .agg(F.min("vc").alias("nmin"))
             .withColumnRenamed("u", "node")
         )
+        # the cached plan IS the returned/kept projection — unpersist() only
+        # matches the exact cached plan, so caching a wider frame and returning
+        # a .drop() of it would leak the cache (nobody could release it)
         new_labels = (
             labels.join(nbr_min, "node", "left")
             .select(
                 "node",
                 F.least(F.col("comp"), F.coalesce("nmin", F.col("comp"))).alias("comp"),
-                (F.coalesce("nmin", F.col("comp")) < F.col("comp")).alias("_chg"),
             )
         ).cache()
-        changed = new_labels.filter(F.col("_chg")).count()
+        # this count fills new_labels' cache AND detects the fixpoint; the
+        # prev-labels side of the join is already cached so the compare is cheap
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
         old = labels
-        labels = new_labels.drop("_chg")
+        labels = new_labels
         old.unpersist()
         if changed == 0:
             return labels
+    labels.unpersist()
     raise RuntimeError(
         f"connected_components did not converge in {max_iters} rounds — "
         "component diameter exceeds the bound; raise max_iters"
@@ -454,28 +487,42 @@ def fuzzy_dedup_assign(
     text_col: str = "text",
     hash_family: str = "xxhash64",
     max_iters: int = 25,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """End-to-end fuzzy dedup: (doc_id, canonical_id) for EVERY input doc.
 
     The full training-data dedup endpoint, each stage the scale path:
 
-      1. candidates: MinHash-LSH banding (never all-pairs),
+      0. exact pre-pass: byte-identical texts — the DOMINANT duplicate class
+         at web scale — collapse to one representative (min id per text)
+         before any LSH work, so a 100k-copy boilerplate cluster contributes
+         ONE doc to the bucket self-join instead of a 100k² candidate blowup.
+         Results are unchanged: identical texts have identical signatures, so
+         the representative components merge exactly the text groups the
+         full-corpus components would, and min-over-component of rep ids IS
+         min-over-component of all member ids.
+      1. candidates: MinHash-LSH banding over representatives (never
+         all-pairs; ``max_bucket_size`` additionally caps degenerate NEAR-dup
+         buckets — templated non-identical docs — at the documented recall
+         trade-off),
       2. verify: exact word-n-gram Jaccard per candidate pair — computed
          JVM-side with ``array_intersect`` over the two docs' (distinct) gram
          arrays, no extra gram explode/shuffle (candidate count ≪ corpus²),
       3. cluster: connected components over verified edges (near-clique
          components from banding → 1-3 label-propagation rounds),
-      4. assign: canonical = min doc id of the cluster; singletons map to
-         themselves.
+      4. assign: every doc maps text → representative → component minimum;
+         singletons map to themselves.
 
     Keep-one-per-cluster filter: ``out.filter(F.col(id_col) ==
     F.col("canonical_id"))`` semi-joined back to the docs.
     """
+    reps = docs.groupBy(text_col).agg(F.min(id_col).alias(id_col))
     cands = minhash_candidate_pairs(
-        docs, n=n, num_hashes=num_hashes, bands=bands,
+        reps, n=n, num_hashes=num_hashes, bands=bands,
         id_col=id_col, text_col=text_col, hash_family=hash_family,
+        max_bucket_size=max_bucket_size,
     )
-    grams = docs.select(
+    grams = reps.select(
         F.col(id_col).alias("_gid"), word_ngrams(F.col(text_col), n).alias("_grams")
     )
     pairs = (
@@ -490,8 +537,11 @@ def fuzzy_dedup_assign(
         .select("id_a", "id_b")
     )
     comp = connected_components(edges, max_iters=max_iters)
-    return docs.join(
-        comp.withColumnRenamed("node", id_col), id_col, "left"
+    rep_of = docs.select(id_col, text_col).join(
+        reps.withColumnRenamed(id_col, "_rep"), text_col
+    )
+    return rep_of.join(
+        comp.withColumnRenamed("node", "_rep"), "_rep", "left"
     ).select(
-        id_col, F.coalesce("comp", F.col(id_col)).alias("canonical_id")
+        id_col, F.coalesce("comp", F.col("_rep")).alias("canonical_id")
     )

@@ -81,7 +81,13 @@ def doc_fingerprint(text: Column) -> Column:
 # optional leading space — plus whitespace runs. A subword tokenizer's unit
 # count is ~proportional to these pre-tokens, which is what a token-budget
 # estimator needs; no vocabulary/merges are applied (those are model-specific).
-BPE_PRETOKEN_RE = "('s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+)"
+# The whitespace class is spelled EXPLICITLY (not \s): Java's \s includes
+# vertical tab \x0B but RE2's (DuckDB) does not, and the oracle comparison
+# needs both engines to lex identically.
+_WS = " \\t\\n\\x0B\\f\\r"
+BPE_PRETOKEN_RE = (
+    f"('s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9{_WS}]+|[{_WS}]+)"
+)
 
 
 def bpe_pretokens(text: Column) -> Column:
@@ -98,4 +104,4 @@ def bpe_token_count(text: Column) -> Column:
     """Estimated subword token count: BPE pre-tokens excluding pure-whitespace
     runs. The whitespace-split ``token_count`` undercounts text with punctuation
     or digit runs; this tracks what a real byte-level BPE tokenizer charges."""
-    return F.size(F.filter(bpe_pretokens(text), lambda t: ~t.rlike("^\\s+$")))
+    return F.size(F.filter(bpe_pretokens(text), lambda t: ~t.rlike(f"^[{_WS}]+$")))

@@ -161,6 +161,7 @@ def doc_zonal_stats(
     return _join_refs_partials(
         refs, partials, salt_threshold=salt_threshold, salt_sample_fraction=salt_sample_fraction,
         partials_rows_bound=rf.meta.n_tile_rows * rf.meta.n_tile_cols * len(zones),
+        n_zones=len(zones),
     )
 
 
@@ -171,6 +172,7 @@ def _join_refs_partials(
     salt_threshold: int | None = None,
     salt_sample_fraction: float | None = 0.05,
     partials_rows_bound: int | None = None,
+    n_zones: int | None = None,
 ) -> DataFrame:
     """The flagship's skew-aware join + final agg, shared by the one-shot and
     checkpointed plans (the resumable variant is exactly the run that needs skew
@@ -209,6 +211,16 @@ def _join_refs_partials(
         # not re-derived for the partials-side salt fan-out (.explain showed a
         # third full doc scan without this)
         hot = hot.cache()
+        if partials_rows_bound is not None and n_zones:
+            # the salt explode replicates each hot tile's n_zones partial rows
+            # n_salt times — the broadcast-size bound must include that fan-out
+            # or skewed refs could push the hinted side past the ceiling. hot
+            # is tiny and cached; one driver peek gives the EXACT fan-out.
+            hs = hot.agg(
+                F.count("*").alias("k"),
+                F.coalesce(F.sum("n_salt"), F.lit(0)).alias("s"),
+            ).collect()[0]
+            partials_rows_bound = partials_rows_bound + int(hs["s"] - hs["k"]) * n_zones
         refs = refs.join(F.broadcast(hot), ["tile_row", "tile_col"], "left").withColumn(
             "salt",
             F.when(
@@ -312,6 +324,7 @@ def flagship_checkpointed(
             refs_stage.df, partials_stage.df,
             salt_threshold=salt_threshold, salt_sample_fraction=salt_sample_fraction,
             partials_rows_bound=rf.meta.n_tile_rows * rf.meta.n_tile_cols * len(zones),
+            n_zones=len(zones),
         )
 
     final_stage = cm.run_stage(spark, "doc_zonal", input_fingerprint, build_final)

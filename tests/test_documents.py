@@ -143,3 +143,23 @@ class TestBpePretokens:
         assert out[1] == (6, 3)   # BPE charges punctuation/digit runs separately
         assert out[2] == (2, 2)
         assert out[3] == (0, 0)
+
+
+    def test_vertical_tab_portable(self, spark):
+        # \x0B is whitespace to Java's \s but NOT to RE2's — the explicit
+        # whitespace class must make both engines lex it as whitespace
+        import duckdb
+        from pyspark.sql import functions as F
+
+        from rastr_spark.functions.text import _WS, BPE_PRETOKEN_RE, bpe_token_count
+
+        txt = "one\x0btwo three"
+        d = spark.createDataFrame([(0, txt)], "doc_id long, text string")
+        spark_n = d.select(bpe_token_count(F.col("text")).alias("n")).collect()[0]["n"]
+        sql = (
+            "SELECT len(list_filter(regexp_extract_all(?, '"
+            + BPE_PRETOKEN_RE.replace("'", "''")
+            + f"', 1), t -> NOT regexp_matches(t, '^[{_WS}]+$')))"
+        )
+        duck_n = duckdb.connect().execute(sql, [txt]).fetchone()[0]
+        assert spark_n == duck_n == 3

@@ -67,3 +67,27 @@ class TestMortonRangeSet:
             morton_range_set(2, 1, 0, 0)
         with pytest.raises(ValueError):
             morton_range_set(-1, 1, 0, 0)
+
+
+class TestMortonColParity:
+    def test_jvm_morton_matches_numpy_encoder_beyond_16_bits(self, spark):
+        # the stored cell_id (tiles._morton_col, JVM) and the pruning ranges
+        # (grid.morton_encode, numpy) MUST agree at every index — a narrower
+        # JVM width would alias tile indices >= 2^16 outside the computed
+        # ranges and silently drop tiles from pruned reads
+        from pyspark.sql import functions as F
+
+        from rastr_spark.tiles import _morton_col
+
+        idx = [(0, 0), (1, 2), (65535, 65535), (65536, 0), (0, 65536),
+               (65537, 70000), (1 << 20, (1 << 20) + 3), ((1 << 26) - 1, (1 << 26) - 1)]
+        df = spark.createDataFrame(idx, "r long, c long")
+        got = [
+            r["m"]
+            for r in df.select(_morton_col(F.col("r"), F.col("c")).alias("m"))
+            .orderBy("m").collect()
+        ]
+        want = sorted(
+            int(morton_encode(np.array([r]), np.array([c]))[0]) for r, c in idx
+        )
+        assert got == want

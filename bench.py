@@ -202,6 +202,27 @@ def main():
     results["dedup_minhash_1m"] = round(t_dedup, 3)
     all_walls["dedup_minhash_1m"] = walls
 
+    # -- end-to-end fuzzy dedup at corpus scale ---------------------------------
+    # exact pre-pass + LSH candidates + Jaccard verify + connected components +
+    # canonical assignment over 200k docs (10% planted exact dups)
+    from rastr_spark.functions.dedup import fuzzy_dedup_assign
+
+    n_fuzzy = int(os.environ.get("SPARK_GRAFT_BENCH_FUZZY_DOCS", "200000"))
+    generate_text_corpus(spark, n_fuzzy, seed=11).write.mode("overwrite").parquet(
+        f"{docs_dir}/fuzzy_corpus"
+    )
+    fuzzy_corpus = spark.read.parquet(f"{docs_dir}/fuzzy_corpus")
+    t_fuzzy, walls = timed(
+        lambda: fuzzy_dedup_assign(
+            fuzzy_corpus, n=3, num_hashes=8, bands=4, threshold=0.8,
+            max_bucket_size=1000,
+        )
+        .filter(F.col("doc_id") != F.col("canonical_id"))
+        .count()
+    )
+    results["dedup_fuzzy_200k"] = round(t_fuzzy, 3)
+    all_walls["dedup_fuzzy_200k"] = walls
+
     shutil.rmtree(docs_dir, ignore_errors=True)
     total = round(sum(results.values()), 3)
     out = {
@@ -217,6 +238,8 @@ def main():
         "docs_per_sec": round(docs_per_sec, 1),
         "dedup_docs": n_dedup,
         "dedup_docs_per_sec": round(n_dedup / t_dedup, 1),
+        "fuzzy_docs": n_fuzzy,
+        "fuzzy_docs_per_sec": round(n_fuzzy / t_fuzzy, 1),
     }
     scaling_file = Path(__file__).resolve().parent / "BENCH_SCALING.json"
     if scaling_file.exists():

@@ -40,6 +40,8 @@ class TestJoinShapes:
         docs = spark.createDataFrame([(0, "a b c d"), (1, "a b c e")], "doc_id long, text string")
         pts = spark.createDataFrame([(0, 1.0, 1.0)], "query_id long, x double, y double")
         pool = spark.createDataFrame([(2.0, 2.0), (5.0, 5.0)], "x double, y double")
+        from rastr_spark.functions.dedup import fuzzy_dedup_assign
+
         plans = {
             "zonal": plan(zonal_stats(rf, [("z", Geometry.box(0, 0, 4, 4))])),
             "minhash_pairs": plan(
@@ -47,6 +49,7 @@ class TestJoinShapes:
             ),
             "jaccard": plan(ngram_jaccard_pairs(docs, n=2, threshold=0.1, max_doc_freq=10)),
             "knn": plan(knn_join(pool, pts, 1, cell_size=4.0, max_rounds=1)),
+            "fuzzy": plan(fuzzy_dedup_assign(docs, n=2, num_hashes=4, bands=2)),
         }
         for name, p in plans.items():
             assert "CartesianProduct" not in p, f"{name} plan degraded to cartesian:\n{p}"

@@ -1037,15 +1037,65 @@ WHERE rank <= 5
 """
 
 
+_IVF_CENTROIDS_PATH = "/tmp/rastr_spark_oracle_ivf_centroids"
+
+
 def _q_ivf_topk(spark, sf_dir):
-    # IVF: seeded data-sampled centroids + 2 Lloyd iterations; nprobe=5 of 8
-    # lists, vectors multi-assigned to 2 lists. Recall-vs-brute >= 0.9 is
-    # asserted in tests/test_similarity.py; rows-only here (pandas-UDF assign
-    # has no SQL twin).
+    """IVF top-k with a DuckDB twin (the flagship-oracle pattern): the trained
+    centroid matrix — the INDEX artifact — is materialized to parquet, and the
+    oracle independently recomputes every query-time step in SQL: vector→list
+    assignment (top n_assign=2 centroids by cosine, ties by centroid id),
+    query probing (top nprobe=5), in-list exact cosine scoring, cross-probe
+    dedup, and the (score desc, vec_id) rank. Training itself (seeded sample +
+    Lloyd) stays Spark-side — it is index CONSTRUCTION; the oracle verifies
+    index USE."""
     e = _read(spark, sf_dir, "embeddings")
     qs = e.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
-    out = S.ivf_topk(e, qs, 5, n_centroids=8, nprobe=5, n_assign=2)
+    cents = S.train_ivf_centroids(e, n_centroids=8, seed=7, iters=2)
+    rows = [
+        (int(cid), int(pos), float(w))
+        for cid, row in enumerate(cents)
+        for pos, w in enumerate(row)
+    ]
+    spark.createDataFrame(rows, "cid int, pos int, w double").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(_IVF_CENTROIDS_PATH)
+    out = S.ivf_topk(e, qs, 5, nprobe=5, n_assign=2, centroids=cents)
     return out.select("query_id", "vec_id", "rank", F.round("score", 6).alias("score"))
+
+
+_ORACLE_IVF = f"""
+WITH cent AS (SELECT * FROM read_parquet('{_IVF_CENTROIDS_PATH}/*.parquet')),
+comps AS (
+  SELECT vec_id, unnest(range(0, len(embedding))) AS pos, unnest(embedding)::double AS x
+  FROM embeddings
+),
+sims AS (
+  SELECT c.vec_id, p.cid,
+         sum(c.x * p.w) / (sqrt(sum(c.x * c.x)) * sqrt(sum(p.w * p.w))) AS sim
+  FROM comps c JOIN cent p USING (pos)
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS r
+  FROM sims
+),
+v AS (SELECT e.vec_id, e.embedding, r.cid FROM embeddings e JOIN ranked r USING (vec_id) WHERE r.r <= 2),
+q AS (SELECT e.vec_id AS qid, e.embedding AS qe, r.cid
+      FROM embeddings e JOIN ranked r USING (vec_id) WHERE e.vec_id < 10 AND r.r <= 5),
+pairs AS (SELECT DISTINCT v.vec_id, q.qid, v.embedding AS ve, q.qe AS qe
+          FROM v JOIN q USING (cid)),
+comp AS (
+  SELECT qid, vec_id, sum(a * b) AS dot, sum(a * a) AS na, sum(b * b) AS nb
+  FROM (SELECT qid, vec_id, unnest(ve)::double AS a, unnest(qe)::double AS b FROM pairs)
+  GROUP BY qid, vec_id
+)
+SELECT qid AS query_id, vec_id, rank, round(dot / (sqrt(na) * sqrt(nb)), 6) AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id) AS rank
+      FROM comp)
+WHERE rank <= 5
+"""
 
 
 def _q_contour(spark, sf_dir):
@@ -1220,11 +1270,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flagship_doc_zonal": _q_flagship,
         # oracle-verified: deterministic hyperplanes embedded as SQL VALUES
         "sim_srp_topk": _q_srp_topk,
+        # oracle-verified: centroid index materialized, probing replayed in SQL
+        "sim_ivf_topk": _q_ivf_topk,
         # rows-only (no SQL-expressible oracle):
         "dedup_minhash_fast": _q_minhash_fast,  # xxhash64: not in DuckDB; md5 twin IS oracled
         "dedup_simhash": _q_simhash,
         "dedup_simhash_hamming": _q_simhash_hamming,  # xxhash64-based simhash
-        "sim_ivf_topk": _q_ivf_topk,
         "multimodal_image_features": _q_multimodal_features,
         "raster_contour_summary": _q_contour,
         # oracle-verified: fixed Delaunay embedded as VALUES, barycentric in SQL
@@ -1266,4 +1317,5 @@ def oracle_sql() -> dict[str, str]:
         "raster_point_cloud_interp": _point_cloud_oracle(),
         "sim_srp_topk": _srp_oracle(),
         "flagship_doc_zonal": _ORACLE_FLAGSHIP,
+        "sim_ivf_topk": _ORACLE_IVF,
     }

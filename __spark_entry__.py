@@ -483,6 +483,115 @@ FROM alldocs d LEFT JOIN comp c ON c.node = d.doc_id
 """
 
 
+_STOP_SQL = "('" + "', '".join(TXT.STOPWORDS) + "')"
+
+
+def _q_pipeline_curate(spark, sf_dir):
+    """Composed curation pipeline over the planted-dup corpus: quality/lang
+    annotation → exact+fuzzy dedup over the passing subset → per-doc keep
+    decision + token budgets. Every stage is an individually-oracled operator;
+    this verifies their COMPOSITION end-to-end in one SQL twin."""
+    from rastr_spark.plans.datapipe import curate_corpus
+
+    d = _fuzzy_corpus(spark, sf_dir)
+    out = curate_corpus(
+        d, min_quality=0.5, langs=("en",), n=3, num_hashes=8, bands=4,
+        jaccard_threshold=0.5, hash_family="md5",
+    )
+    return out.select(
+        "doc_id", "quality", "lang", "bpe_tokens", "ws_tokens", "canonical_id", "keep"
+    )
+
+
+_ORACLE_PIPELINE = f"""
+WITH RECURSIVE alldocs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 100
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text || ' zq' AS text
+  FROM documents WHERE doc_id >= 100 AND doc_id < 150
+),
+t AS (
+  SELECT doc_id, text,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts,
+         length(regexp_replace(text, '[\\x00-\\x7F]', '', 'g')) > 0 AS non_ascii
+  FROM alldocs
+),
+m AS (
+  SELECT doc_id, text, non_ascii, len(ts) AS nt,
+         (SELECT coalesce(sum(length(x.t)), 0) FROM unnest(ts) AS x(t))::double / greatest(len(ts), 1) AS avg_len,
+         (SELECT coalesce(sum(CASE WHEN x.t IN {_STOP_SQL} THEN 1 ELSE 0 END), 0) FROM unnest(ts) AS x(t))::double
+            / greatest(len(ts), 1) AS stop_ratio,
+         len(list_filter(regexp_extract_all(text, '{{BPE}}', 1),
+                         x -> NOT regexp_matches(x, '^[{{WS}}]+$'))) AS bpe_tokens,
+         len(ts) AS ws_tokens
+  FROM t
+),
+ann AS (
+  SELECT doc_id, text,
+    round((CASE WHEN nt >= 10 AND nt <= 100000 THEN 0.4 ELSE 0.0 END)
+        + (CASE WHEN stop_ratio >= 0.05 THEN 0.3 ELSE 0.0 END)
+        + (CASE WHEN avg_len >= 2.0 AND avg_len <= 12.0 THEN 0.3 ELSE 0.0 END), 2) AS quality,
+    CASE WHEN non_ascii THEN 'other' WHEN stop_ratio >= 0.05 THEN 'en' ELSE 'unk' END AS lang,
+    bpe_tokens, ws_tokens
+  FROM m
+),
+passing AS (SELECT doc_id, text FROM ann WHERE quality >= 0.5 AND lang IN ('en')),
+reps AS (SELECT text, min(doc_id) AS rep FROM passing GROUP BY text),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(ts[g:g+2], ' ') AS gram
+  FROM (SELECT rep AS doc_id, ts, unnest(range(1, greatest(len(ts) - 1, 2))) AS g
+        FROM (SELECT rep, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+              FROM reps))
+  WHERE len(ts) >= 3
+),
+sig AS (SELECT doc_id, {", ".join(f"min(md5(gram || ':{i}')) AS h{i}" for i in range(8))}
+        FROM grams GROUP BY doc_id),
+bkt AS (
+  {" UNION ALL ".join(f"SELECT doc_id AS id, {bi} AS band, h{2*bi} || '|' || h{2*bi+1} AS bucket FROM sig" for bi in range(4))}
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bkt a JOIN bkt b USING (band, bucket) WHERE a.id < b.id
+),
+sizes AS (SELECT doc_id, count(*) AS ng FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c JOIN grams a ON a.doc_id = c.id_a JOIN grams b ON b.doc_id = c.id_b
+  WHERE a.gram = b.gram GROUP BY 1, 2
+),
+verified AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE i::double / (sa.ng + sb.ng - i) >= 0.5
+),
+edges AS (SELECT id_a AS u, id_b AS v FROM verified
+          UNION ALL SELECT id_b, id_a FROM verified),
+nodes AS (SELECT DISTINCT u AS node FROM edges),
+r(node, lab) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.u, r.lab FROM edges e JOIN r ON r.node = e.v
+),
+comp AS (SELECT node, min(lab) AS comp FROM r GROUP BY node),
+assign AS (
+  SELECT p.doc_id, coalesce(c.comp, rp.rep) AS canonical_id
+  FROM passing p JOIN reps rp USING (text) LEFT JOIN comp c ON c.node = rp.rep
+)
+SELECT a.doc_id AS doc_id, a.quality, a.lang, a.bpe_tokens, a.ws_tokens,
+       s.canonical_id,
+       (s.canonical_id IS NOT NULL AND s.canonical_id = a.doc_id) AS keep
+FROM ann a LEFT JOIN assign s USING (doc_id)
+"""
+
+# the BPE regex contains single quotes and backslash escapes — substituted
+# after the f-string so the quoting logic lives in one place
+_ORACLE_PIPELINE = _ORACLE_PIPELINE.replace(
+    "{BPE}", TXT.BPE_PRETOKEN_RE.replace("'", "''")
+).replace("{WS}", TXT._WS)
+
+
 def _q_token_stats(spark, sf_dir):
     d = _read(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(TXT.tokens(F.col("text"))).alias("tok"))
@@ -494,8 +603,6 @@ def _q_token_stats(spark, sf_dir):
         F.round(F.sum(stop) / F.count("*"), 6).alias("stop_ratio"),
     )
 
-
-_STOP_SQL = "('" + "', '".join(TXT.STOPWORDS) + "')"
 
 _ORACLE_TOKEN_STATS = f"""
 WITH toks AS (SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS tok FROM documents)
@@ -1258,6 +1365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         "dedup_ngram_jaccard_fast": _q_ngram_jaccard_fast,  # xxhash64 keys: rows-only
         "dedup_fuzzy": _q_dedup_fuzzy,
+        "pipeline_curate": _q_pipeline_curate,
         "dedup_minhash_lsh": _q_minhash_lsh,
         "text_token_stats": _q_token_stats,
         "text_quality_langid": _q_quality_langid,
@@ -1306,6 +1414,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _ORACLE_DEDUP_EXACT,
         "dedup_ngram_jaccard": _ORACLE_JACCARD,
         "dedup_fuzzy": _ORACLE_DEDUP_FUZZY,
+        "pipeline_curate": _ORACLE_PIPELINE,
         "dedup_minhash_lsh": _minhash_oracle(),
         "text_token_stats": _ORACLE_TOKEN_STATS,
         "text_quality_langid": _ORACLE_QUALITY,

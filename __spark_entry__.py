@@ -430,30 +430,39 @@ def _q_dedup_fuzzy(spark, sf_dir):
     return out.select("doc_id", "canonical_id")
 
 
-_FUZZY_TOKS_SQL = """
-  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts FROM alldocs
-"""
-
-_ORACLE_DEDUP_FUZZY = f"""
-WITH RECURSIVE alldocs AS (
+# the planted-dup corpus both fuzzy oracles run on — ONE definition
+_FUZZY_CORPUS_SQL = """
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 100
   UNION ALL
   SELECT doc_id + 200000 AS doc_id, text || ' zq' AS text
   FROM documents WHERE doc_id >= 100 AND doc_id < 150
-),
+"""
+
+
+def _fuzzy_cc_sql(src: str, *, threshold: float = 0.5) -> str:
+    """The shared LSH→Jaccard-verify→connected-components CTE chain, over any
+    source CTE ``src`` exposing (doc_id, text). Produces CTEs grams/sig/bkt/
+    cand/sizes/inter/verified/edges/nodes/r/comp; the caller's WITH must be
+    RECURSIVE (for ``r``) and appends its own final SELECT. One definition
+    serves dedup_fuzzy AND pipeline_curate — a banding/threshold change cannot
+    silently diverge between them."""
+    mins = ", ".join(f"min(md5(gram || ':{i}')) AS h{i}" for i in range(8))
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id AS id, {bi} AS band, h{2*bi} || '|' || h{2*bi+1} AS bucket FROM sig"
+        for bi in range(4)
+    )
+    return f"""
 grams AS (
   SELECT DISTINCT doc_id, array_to_string(ts[g:g+2], ' ') AS gram
   FROM (SELECT doc_id, ts, unnest(range(1, greatest(len(ts) - 1, 2))) AS g
-        FROM ({_FUZZY_TOKS_SQL}))
+        FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+              FROM {src}))
   WHERE len(ts) >= 3
 ),
-sig AS (SELECT doc_id, {", ".join(f"min(md5(gram || ':{i}')) AS h{i}" for i in range(8))}
-        FROM grams GROUP BY doc_id),
-bkt AS (
-  {" UNION ALL ".join(f"SELECT doc_id AS id, {bi} AS band, h{2*bi} || '|' || h{2*bi+1} AS bucket FROM sig" for bi in range(4))}
-),
+sig AS (SELECT doc_id, {mins} FROM grams GROUP BY doc_id),
+bkt AS ({bands}),
 cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
   FROM bkt a JOIN bkt b USING (band, bucket) WHERE a.id < b.id
@@ -467,7 +476,7 @@ inter AS (
 verified AS (
   SELECT id_a, id_b FROM inter
   JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
-  WHERE i::double / (sa.ng + sb.ng - i) >= 0.5
+  WHERE i::double / (sa.ng + sb.ng - i) >= {threshold}
 ),
 edges AS (SELECT id_a AS u, id_b AS v FROM verified
           UNION ALL SELECT id_b, id_a FROM verified),
@@ -477,7 +486,12 @@ r(node, lab) AS (
   UNION
   SELECT e.u, r.lab FROM edges e JOIN r ON r.node = e.v
 ),
-comp AS (SELECT node, min(lab) AS comp FROM r GROUP BY node)
+comp AS (SELECT node, min(lab) AS comp FROM r GROUP BY node)"""
+
+
+_ORACLE_DEDUP_FUZZY = f"""
+WITH RECURSIVE alldocs AS ({_FUZZY_CORPUS_SQL}),
+{_fuzzy_cc_sql("alldocs")}
 SELECT d.doc_id AS doc_id, coalesce(c.comp, d.doc_id) AS canonical_id
 FROM alldocs d LEFT JOIN comp c ON c.node = d.doc_id
 """
@@ -503,15 +517,24 @@ def _q_pipeline_curate(spark, sf_dir):
     )
 
 
+# quality/lang SQL fragments — ONE definition each, shared by _ORACLE_QUALITY
+# and _ORACLE_PIPELINE (they must track functions/text.py together)
+_QUALITY_CASE_SQL = """
+    round((CASE WHEN nt >= 10 AND nt <= 100000 THEN 0.4 ELSE 0.0 END)
+        + (CASE WHEN stop_ratio >= 0.05 THEN 0.3 ELSE 0.0 END)
+        + (CASE WHEN avg_len >= 2.0 AND avg_len <= 12.0 THEN 0.3 ELSE 0.0 END), 2)
+"""
+_LANG_CASE_SQL = (
+    "CASE WHEN non_ascii THEN 'other' WHEN stop_ratio >= 0.05 THEN 'en' ELSE 'unk' END"
+)
+_BPE_COUNT_SQL = (
+    "len(list_filter(regexp_extract_all(text, '"
+    + TXT.BPE_PRETOKEN_RE.replace("'", "''")
+    + f"', 1), x -> NOT regexp_matches(x, '^[{TXT._WS}]+$')))"
+)
+
 _ORACLE_PIPELINE = f"""
-WITH RECURSIVE alldocs AS (
-  SELECT doc_id, text FROM documents
-  UNION ALL
-  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 100
-  UNION ALL
-  SELECT doc_id + 200000 AS doc_id, text || ' zq' AS text
-  FROM documents WHERE doc_id >= 100 AND doc_id < 150
-),
+WITH RECURSIVE alldocs AS ({_FUZZY_CORPUS_SQL}),
 t AS (
   SELECT doc_id, text,
          list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts,
@@ -523,58 +546,21 @@ m AS (
          (SELECT coalesce(sum(length(x.t)), 0) FROM unnest(ts) AS x(t))::double / greatest(len(ts), 1) AS avg_len,
          (SELECT coalesce(sum(CASE WHEN x.t IN {_STOP_SQL} THEN 1 ELSE 0 END), 0) FROM unnest(ts) AS x(t))::double
             / greatest(len(ts), 1) AS stop_ratio,
-         len(list_filter(regexp_extract_all(text, '{{BPE}}', 1),
-                         x -> NOT regexp_matches(x, '^[{{WS}}]+$'))) AS bpe_tokens,
+         {_BPE_COUNT_SQL} AS bpe_tokens,
          len(ts) AS ws_tokens
   FROM t
 ),
 ann AS (
   SELECT doc_id, text,
-    round((CASE WHEN nt >= 10 AND nt <= 100000 THEN 0.4 ELSE 0.0 END)
-        + (CASE WHEN stop_ratio >= 0.05 THEN 0.3 ELSE 0.0 END)
-        + (CASE WHEN avg_len >= 2.0 AND avg_len <= 12.0 THEN 0.3 ELSE 0.0 END), 2) AS quality,
-    CASE WHEN non_ascii THEN 'other' WHEN stop_ratio >= 0.05 THEN 'en' ELSE 'unk' END AS lang,
+    {_QUALITY_CASE_SQL} AS quality,
+    {_LANG_CASE_SQL} AS lang,
     bpe_tokens, ws_tokens
   FROM m
 ),
 passing AS (SELECT doc_id, text FROM ann WHERE quality >= 0.5 AND lang IN ('en')),
 reps AS (SELECT text, min(doc_id) AS rep FROM passing GROUP BY text),
-grams AS (
-  SELECT DISTINCT doc_id, array_to_string(ts[g:g+2], ' ') AS gram
-  FROM (SELECT rep AS doc_id, ts, unnest(range(1, greatest(len(ts) - 1, 2))) AS g
-        FROM (SELECT rep, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
-              FROM reps))
-  WHERE len(ts) >= 3
-),
-sig AS (SELECT doc_id, {", ".join(f"min(md5(gram || ':{i}')) AS h{i}" for i in range(8))}
-        FROM grams GROUP BY doc_id),
-bkt AS (
-  {" UNION ALL ".join(f"SELECT doc_id AS id, {bi} AS band, h{2*bi} || '|' || h{2*bi+1} AS bucket FROM sig" for bi in range(4))}
-),
-cand AS (
-  SELECT DISTINCT a.id AS id_a, b.id AS id_b
-  FROM bkt a JOIN bkt b USING (band, bucket) WHERE a.id < b.id
-),
-sizes AS (SELECT doc_id, count(*) AS ng FROM grams GROUP BY doc_id),
-inter AS (
-  SELECT c.id_a, c.id_b, count(*) AS i
-  FROM cand c JOIN grams a ON a.doc_id = c.id_a JOIN grams b ON b.doc_id = c.id_b
-  WHERE a.gram = b.gram GROUP BY 1, 2
-),
-verified AS (
-  SELECT id_a, id_b FROM inter
-  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
-  WHERE i::double / (sa.ng + sb.ng - i) >= 0.5
-),
-edges AS (SELECT id_a AS u, id_b AS v FROM verified
-          UNION ALL SELECT id_b, id_a FROM verified),
-nodes AS (SELECT DISTINCT u AS node FROM edges),
-r(node, lab) AS (
-  SELECT node, node FROM nodes
-  UNION
-  SELECT e.u, r.lab FROM edges e JOIN r ON r.node = e.v
-),
-comp AS (SELECT node, min(lab) AS comp FROM r GROUP BY node),
+rsrc AS (SELECT rep AS doc_id, text FROM reps),
+{_fuzzy_cc_sql("rsrc")},
 assign AS (
   SELECT p.doc_id, coalesce(c.comp, rp.rep) AS canonical_id
   FROM passing p JOIN reps rp USING (text) LEFT JOIN comp c ON c.node = rp.rep
@@ -584,12 +570,6 @@ SELECT a.doc_id AS doc_id, a.quality, a.lang, a.bpe_tokens, a.ws_tokens,
        (s.canonical_id IS NOT NULL AND s.canonical_id = a.doc_id) AS keep
 FROM ann a LEFT JOIN assign s USING (doc_id)
 """
-
-# the BPE regex contains single quotes and backslash escapes — substituted
-# after the f-string so the quoting logic lives in one place
-_ORACLE_PIPELINE = _ORACLE_PIPELINE.replace(
-    "{BPE}", TXT.BPE_PRETOKEN_RE.replace("'", "''")
-).replace("{WS}", TXT._WS)
 
 
 def _q_token_stats(spark, sf_dir):
@@ -627,8 +607,7 @@ def _q_text_bpe_tokens(spark, sf_dir):
 
 _ORACLE_BPE_TOKENS = f"""
 SELECT doc_id,
-       len(list_filter(regexp_extract_all(text, '{TXT.BPE_PRETOKEN_RE.replace("'", "''")}', 1),
-                       t -> NOT regexp_matches(t, '^[{TXT._WS}]+$'))) AS bpe_tokens,
+       {_BPE_COUNT_SQL} AS bpe_tokens,
        len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS ws_tokens
 FROM documents
 """
@@ -651,17 +630,15 @@ WITH t AS (
   FROM documents
 ),
 m AS (
-  SELECT doc_id, non_ascii, len(ts) AS n,
+  SELECT doc_id, non_ascii, len(ts) AS nt,
          (SELECT coalesce(sum(length(x.t)), 0) FROM unnest(ts) AS x(t))::double / greatest(len(ts), 1) AS avg_len,
          (SELECT coalesce(sum(CASE WHEN x.t IN {_STOP_SQL} THEN 1 ELSE 0 END), 0) FROM unnest(ts) AS x(t))::double
             / greatest(len(ts), 1) AS stop_ratio
   FROM t
 )
 SELECT doc_id,
-  round((CASE WHEN n >= 10 AND n <= 100000 THEN 0.4 ELSE 0.0 END)
-      + (CASE WHEN stop_ratio >= 0.05 THEN 0.3 ELSE 0.0 END)
-      + (CASE WHEN avg_len >= 2.0 AND avg_len <= 12.0 THEN 0.3 ELSE 0.0 END), 2) AS quality,
-  CASE WHEN non_ascii THEN 'other' WHEN stop_ratio >= 0.05 THEN 'en' ELSE 'unk' END AS lang
+  {_QUALITY_CASE_SQL} AS quality,
+  {_LANG_CASE_SQL} AS lang
 FROM m
 """
 
@@ -1201,7 +1178,9 @@ comp AS (
 SELECT qid AS query_id, vec_id, rank, round(dot / (sqrt(na) * sqrt(nb)), 6) AS score
 FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id) AS rank
       FROM comp)
-WHERE rank <= 5
+-- guard: empty the result (loud parity failure) if the materialized centroid
+-- artifact is missing/stale instead of silently comparing against garbage
+WHERE rank <= 5 AND (SELECT count(*) FROM cent) = 8 * 64
 """
 
 

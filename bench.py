@@ -204,14 +204,23 @@ def main():
 
     # -- end-to-end fuzzy dedup at corpus scale ---------------------------------
     # exact pre-pass + LSH candidates + Jaccard verify + connected components +
-    # canonical assignment over 200k docs (10% planted exact dups)
+    # canonical assignment over ~210k docs: 10% planted EXACT dups (exercise the
+    # pre-pass) + 5% planted NEAR dups (one appended token — these pass the
+    # pre-pass and exercise the LSH/verify/CC stages on real candidate pairs;
+    # a corpus of only exact dups would leave those stages measuring nothing)
     from rastr_spark.functions.dedup import fuzzy_dedup_assign
 
-    n_fuzzy = int(os.environ.get("SPARK_GRAFT_BENCH_FUZZY_DOCS", "200000"))
-    generate_text_corpus(spark, n_fuzzy, seed=11).write.mode("overwrite").parquet(
+    n_fuzzy_base = int(os.environ.get("SPARK_GRAFT_BENCH_FUZZY_DOCS", "200000"))
+    base_corpus = generate_text_corpus(spark, n_fuzzy_base, seed=11)
+    near = base_corpus.filter(F.col("doc_id") % 20 == 3).select(
+        (F.col("doc_id") + n_fuzzy_base).alias("doc_id"),
+        F.concat("text", F.lit(" zzq")).alias("text"),
+    )
+    base_corpus.unionByName(near).write.mode("overwrite").parquet(
         f"{docs_dir}/fuzzy_corpus"
     )
     fuzzy_corpus = spark.read.parquet(f"{docs_dir}/fuzzy_corpus")
+    n_fuzzy = fuzzy_corpus.count()
     t_fuzzy, walls = timed(
         lambda: fuzzy_dedup_assign(
             fuzzy_corpus, n=3, num_hashes=8, bands=4, threshold=0.8,

@@ -537,6 +537,14 @@ def fuzzy_dedup_assign(
         .select("id_a", "id_b")
     )
     comp = connected_components(edges, max_iters=max_iters)
+    # swap the component table's CACHE (lives in the shared cache manager until
+    # explicitly unpersisted — would leak once per call) for an eager
+    # localCheckpoint: its blocks are owned by the RDD and reclaimed by the
+    # ContextCleaner when the returned DataFrame is garbage-collected, so the
+    # storage cost is bounded by the result's lifetime, not the session's
+    comp_ck = comp.localCheckpoint(eager=True)
+    comp.unpersist()
+    comp = comp_ck
     rep_of = docs.select(id_col, text_col).join(
         reps.withColumnRenamed(id_col, "_rep"), text_col
     )

@@ -6,11 +6,14 @@ One declarative plan over a raw document table:
     clustering → token budgeting → per-doc keep/drop decision
 
 Every stage is an already-oracled operator (functions/text.py,
-functions/dedup.py); the composition stays one Catalyst plan per doc (the
-dedup stages contribute joins, not collects), so the whole curation pass is a
-handful of shuffles regardless of corpus size: one groupBy(text) for the
-exact pass, the LSH banding joins for the fuzzy pass, and one final join back
-to the annotations.
+functions/dedup.py). Execution shape: the annotation/filter/join stages are
+lazy Catalyst plans; the fuzzy-dedup stage's connected-components loop is
+EAGER (it runs a few small Spark jobs at ``curate_corpus`` call time to reach
+the label fixpoint — see connected_components), with the resulting component
+table held in a GC-bounded localCheckpoint. Total cost is a handful of
+shuffles regardless of corpus size: one groupBy(text) for the exact pass, the
+LSH banding joins for the fuzzy pass, and one final join back to the
+annotations.
 """
 
 from __future__ import annotations
@@ -38,7 +41,7 @@ def curate_corpus(
 ) -> DataFrame:
     """Per-doc curation decision table.
 
-    Returns (doc_id, quality, lang, bpe_tokens, canonical_id, keep):
+    Returns (doc_id, quality, lang, bpe_tokens, ws_tokens, canonical_id, keep):
 
     - ``canonical_id``: the doc's near-dup cluster representative
       (fuzzy_dedup_assign — exact pre-pass + LSH + Jaccard verify + connected

@@ -1148,6 +1148,11 @@ def _q_ivf_topk(spark, sf_dir):
     return out.select("query_id", "vec_id", "rank", F.round("score", 6).alias("score"))
 
 
+# Float discipline note: assignment/probe/rank orderings compare raw doubles
+# computed by different means (Spark: normalized BLAS matmul; DuckDB:
+# sum-of-products) — exact ties at a selection boundary could diverge, but
+# require two cosines equal to within ~1 ulp, which real embeddings do not
+# produce; all deliberate ties break on integer ids in both engines.
 _ORACLE_IVF = f"""
 WITH cent AS (SELECT * FROM read_parquet('{_IVF_CENTROIDS_PATH}/*.parquet')),
 comps AS (

@@ -91,3 +91,35 @@ class TestMortonColParity:
             int(morton_encode(np.array([r]), np.array([c]))[0]) for r, c in idx
         )
         assert got == want
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+if HAVE_HYPOTHESIS:
+
+    class TestMortonRangeSetProperties:
+        @given(
+            tr0=st.integers(0, 40), h=st.integers(0, 25),
+            tc0=st.integers(0, 40), w=st.integers(0, 25),
+        )
+        @settings(max_examples=150, deadline=None)
+        def test_uncapped_cover_is_exact(self, tr0, h, tc0, w):
+            rs = morton_range_set(tr0, tr0 + h, tc0, tc0 + w, max_ranges=10**9)
+            assert covered(rs) == enumerate_rect(tr0, tr0 + h, tc0, tc0 + w)
+
+        @given(
+            tr0=st.integers(0, 40), h=st.integers(0, 25),
+            tc0=st.integers(0, 40), w=st.integers(0, 25),
+            cap=st.integers(1, 8),
+        )
+        @settings(max_examples=100, deadline=None)
+        def test_capped_cover_is_superset_within_cap(self, tr0, h, tc0, w, cap):
+            rs = morton_range_set(tr0, tr0 + h, tc0, tc0 + w, max_ranges=cap)
+            assert len(rs) <= cap
+            assert enumerate_rect(tr0, tr0 + h, tc0, tc0 + w) <= covered(rs)

@@ -640,3 +640,35 @@ class TestStreamingNearDup:
         }
         assert (100, 0) in got           # exact copy collides on every band
         assert all(s != 101 for s, _ in got)  # novel doc matches nothing
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+if HAVE_HYPOTHESIS:
+
+    class TestLzwProperties:
+        @given(data=st.binary(min_size=0, max_size=30_000))
+        @settings(max_examples=60, deadline=None)
+        def test_roundtrip_identity(self, data):
+            from rastr_spark.sources.geotiff import _lzw_decode, _lzw_encode
+
+            assert _lzw_decode(_lzw_encode(data)) == data
+
+        @given(
+            word=st.binary(min_size=1, max_size=6),
+            reps=st.integers(1, 20_000),
+        )
+        @settings(max_examples=30, deadline=None)
+        def test_repetitive_streams_cross_width_bumps(self, word, reps):
+            # repetitive inputs grow the code table fastest — exercises the
+            # 511/1023/2047 early-change boundaries and the table-full clear
+            from rastr_spark.sources.geotiff import _lzw_decode, _lzw_encode
+
+            data = (word * reps)[:40_000]
+            assert _lzw_decode(_lzw_encode(data)) == data

@@ -410,24 +410,26 @@ def connected_components(
 ) -> DataFrame:
     """(node, comp) — comp = the minimum node id in each connected component.
 
-    Min-label propagation: every round each node takes the min label over
-    itself and its neighbors; converges in O(component diameter) rounds. For
-    the dedup use case that bound is tiny by construction — LSH banding creates
-    near-CLIQUE components (every member of a bucket pairs with every other),
-    so diameters are 1-3 regardless of corpus size; the loop detects the
-    fixpoint (one count job per round) and stops. Each round is one
-    shuffle-join + groupBy-min; labels are cached per round and the previous
-    round unpersisted, so lineage stays shallow.
+    Min-label propagation WITH pointer jumping: every round each node takes
+    the min label over itself and its neighbors, then path-halves by adopting
+    its label's own label (comp ← comp(comp(node)) — Shiloach–Vishkin style).
+    The jump makes convergence O(log n) rounds on ANY graph shape — including
+    long path components like web-page revision chains (successive one-edit
+    near-dups), where plain propagation would need O(chain length) rounds.
+    LSH banding's near-clique components still converge in 1-3 rounds; the
+    loop detects the fixpoint (one count job per round) and stops.
+
+    Each round is two shuffle-joins + a groupBy-min, materialized with an
+    EAGER ``localCheckpoint``: the jump self-join references the round's
+    intermediate twice, so without lineage truncation the logical plan would
+    DOUBLE per round (exponential tree → driver OOM around round 10 — found
+    by the 200-node chain test). Checkpoint blocks are owned by their RDDs
+    and reclaimed by the ContextCleaner when a round's DataFrame is garbage
+    collected, so storage for dead rounds is released automatically and the
+    returned result holds only its own blocks for its own lifetime.
 
     Raises RuntimeError if not converged after ``max_iters`` — returning
     un-converged labels would silently split components.
-
-    Cache ownership: the RETURNED DataFrame is cached (the loop's fixpoint
-    check already materialized it; uncaching would make every downstream
-    action replay the whole iteration chain). The caller owns it — call
-    ``result.unpersist()`` once consumed in a long-lived session. All
-    intermediate rounds (and the last round on the error path) are
-    unpersisted here.
     """
     nodes = (
         edges.select(F.col(src).alias("node"))
@@ -437,8 +439,7 @@ def connected_components(
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     )
-    labels = nodes.withColumn("comp", F.col("node")).cache()
-    labels.count()
+    labels = nodes.withColumn("comp", F.col("node")).localCheckpoint(eager=True)
     for _ in range(max_iters):
         nbr_min = (
             sym.join(labels.select(F.col("node").alias("v"), F.col("comp").alias("vc")), "v")
@@ -446,33 +447,36 @@ def connected_components(
             .agg(F.min("vc").alias("nmin"))
             .withColumnRenamed("u", "node")
         )
-        # the cached plan IS the returned/kept projection — unpersist() only
-        # matches the exact cached plan, so caching a wider frame and returning
-        # a .drop() of it would leak the cache (nobody could release it)
+        stepped = labels.join(nbr_min, "node", "left").select(
+            "node",
+            F.least(F.col("comp"), F.coalesce("nmin", F.col("comp"))).alias("comp"),
+        )
+        # pointer jump (path halving): adopt the label's own label. Labels only
+        # decrease and always name a node of the same component, so the jump is
+        # safe; it is what turns O(diameter) into O(log n) rounds.
+        jump = stepped.select(
+            F.col("node").alias("comp"), F.col("comp").alias("_cc")
+        )
         new_labels = (
-            labels.join(nbr_min, "node", "left")
+            stepped.join(jump, "comp", "left")
             .select(
                 "node",
-                F.least(F.col("comp"), F.coalesce("nmin", F.col("comp"))).alias("comp"),
+                F.least(F.col("comp"), F.coalesce("_cc", F.col("comp"))).alias("comp"),
             )
-        ).cache()
-        # this count fills new_labels' cache AND detects the fixpoint; the
-        # prev-labels side of the join is already cached so the compare is cheap
+        ).localCheckpoint(eager=True)
+        # both sides of the fixpoint compare are checkpointed scans — cheap
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
             .filter(F.col("n.comp") != F.col("o.comp"))
             .count()
         )
-        old = labels
         labels = new_labels
-        old.unpersist()
         if changed == 0:
             return labels
-    labels.unpersist()
     raise RuntimeError(
         f"connected_components did not converge in {max_iters} rounds — "
-        "component diameter exceeds the bound; raise max_iters"
+        "raise max_iters (pointer jumping needs ~log2(n) rounds)"
     )
 
 
@@ -536,15 +540,9 @@ def fuzzy_dedup_assign(
         .filter(F.col("_j") >= threshold)
         .select("id_a", "id_b")
     )
+    # comp is an eager localCheckpoint (see connected_components): its storage
+    # is GC-bounded by the result's lifetime, never a session-lifetime cache
     comp = connected_components(edges, max_iters=max_iters)
-    # swap the component table's CACHE (lives in the shared cache manager until
-    # explicitly unpersisted — would leak once per call) for an eager
-    # localCheckpoint: its blocks are owned by the RDD and reclaimed by the
-    # ContextCleaner when the returned DataFrame is garbage-collected, so the
-    # storage cost is bounded by the result's lifetime, not the session's
-    comp_ck = comp.localCheckpoint(eager=True)
-    comp.unpersist()
-    comp = comp_ck
     rep_of = docs.select(id_col, text_col).join(
         reps.withColumnRenamed(id_col, "_rep"), text_col
     )

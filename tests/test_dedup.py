@@ -284,3 +284,24 @@ class TestFuzzyDedupScaleGuards:
         ids = {i for p in pairs for i in (p["id_a"], p["id_b"])}
         assert len(pairs) <= 50 * 50 * 4  # bounded, never ~300²
         assert not ({1000, 1001} - ids) or True  # pair may or may not share a bucket; bound is the contract
+
+
+class TestConnectedComponentsLongChain:
+    def test_200_node_path_converges_via_pointer_jumping(self, spark):
+        # a revision-chain component (each doc a near-dup of the previous):
+        # plain min propagation needs ~200 rounds; pointer jumping must reach
+        # the fixpoint well inside max_iters=25 (O(log n))
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(200)], "id_a long, id_b long"
+        )
+        comp = D.connected_components(edges, max_iters=25).collect()
+        assert len(comp) == 201
+        assert all(r["comp"] == 0 for r in comp)
+
+    def test_reversed_ids_chain(self, spark):
+        # min at the FAR end of the chain (worst case for min propagation)
+        edges = spark.createDataFrame(
+            [(200 - i, 200 - i - 1) for i in range(200)], "id_a long, id_b long"
+        )
+        comp = D.connected_components(edges, max_iters=25).collect()
+        assert all(r["comp"] == 0 for r in comp)

@@ -96,6 +96,101 @@ def image_features(media: DataFrame, *, grid: int = 4, fake_decode: bool = True)
     )
 
 
+def decode_audio(payload: bytes, n_samples: int, *, fake: bool = False) -> np.ndarray:
+    """STUB: real decode requires an audio codec (absent in this container).
+
+    fake=True → deterministic pseudo-PCM float32 in [-1, 1) seeded from
+    sha256(payload), length ``n_samples`` — stable across runs/executors."""
+    if not fake:
+        raise NotImplementedError(
+            "audio decode requires an audio codec library not present in this environment; "
+            "pass fake=True for the deterministic test decoder"
+        )
+    seed = int.from_bytes(hashlib.sha256(payload or b"").digest()[8:16], "big")
+    rng = np.random.RandomState(seed % (2**32))
+    return (rng.rand(n_samples).astype(np.float32) * 2.0) - 1.0
+
+
+def audio_features(
+    media: DataFrame, *, n_windows: int = 8, window_samples: int = 256, fake_decode: bool = True
+) -> DataFrame:
+    """Audio → per-window RMS-energy feature vector (length ``n_windows``).
+
+    Same production shape as image_features: mapInPandas over Arrow batches,
+    only the innermost decode stubbed. RMS per fixed-size window is the
+    standard cheap audio fingerprint input (silence detection, energy
+    profiles) and needs no FFT library.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        total = n_windows * window_samples
+        for pdf in batches:
+            ids, feats = [], []
+            for mid, payload in zip(pdf["media_id"].to_numpy(), pdf["payload"].to_numpy()):
+                pcm = decode_audio(payload, total, fake=fake_decode)
+                w = pcm.reshape(n_windows, window_samples)
+                feats.append(np.sqrt((w * w).mean(axis=1)).astype(np.float32))
+                ids.append(mid)
+            yield pd.DataFrame({"media_id": ids, "feature": feats})
+
+    return media.filter(F.col("kind") == "audio").select("media_id", "payload").mapInPandas(
+        run, FEATURE_SCHEMA
+    )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), False),
+                    T.StructField("height", T.IntegerType(), False),
+                    T.StructField("channels", T.IntegerType(), False),
+                ]
+            ),
+            False,
+        ),
+    ]
+)
+
+
+def image_resize(
+    media: DataFrame, *, width: int, height: int, fake_decode: bool = True
+) -> DataFrame:
+    """Decode → nearest-neighbour resize → raw-pixel payload + updated meta.
+
+    The resize kernel itself is real numpy index arithmetic (the part a
+    production pipeline keeps when swapping in a real codec); output payload
+    is the raw HWC uint8 buffer, the interchange form a downstream training
+    loader consumes.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads, metas = [], [], []
+            for mid, payload, m in zip(
+                pdf["media_id"].to_numpy(), pdf["payload"].to_numpy(), pdf["meta"].to_numpy()
+            ):
+                w0 = int(m["width"] or 16)
+                h0 = int(m["height"] or 16)
+                c = int(m["channels"] or 3)
+                img = decode_image(payload, w0, h0, c, fake=fake_decode)
+                rows = (np.arange(height) * h0 // height).clip(0, h0 - 1)
+                cols = (np.arange(width) * w0 // width).clip(0, w0 - 1)
+                out = img[rows][:, cols]
+                ids.append(mid)
+                payloads.append(out.tobytes())
+                metas.append({"width": width, "height": height, "channels": c})
+            yield pd.DataFrame({"media_id": ids, "payload": payloads, "meta": metas})
+
+    return media.filter(F.col("kind") == "image").select("media_id", "payload", "meta").mapInPandas(
+        run, RESIZED_SCHEMA
+    )
+
+
 def frame_sample(media: DataFrame, *, every_n: int = 10) -> DataFrame:
     """Video → (media_id, frame_idx) rows for frames 0, n, 2n, … — pure JVM
     (sequence+explode); the frame *decode* would attach via image_features."""

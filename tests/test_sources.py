@@ -672,3 +672,49 @@ if HAVE_HYPOTHESIS:
 
             data = (word * reps)[:40_000]
             assert _lzw_decode(_lzw_encode(data)) == data
+
+
+class TestMultimodalAudioResize:
+    def test_audio_stub_raises_and_fake_deterministic(self):
+        import numpy as np
+        import pytest
+        from rastr_spark.functions.multimodal import decode_audio
+
+        with pytest.raises(NotImplementedError):
+            decode_audio(b"x", 100)
+        a = decode_audio(b"payload", 512, fake=True)
+        b = decode_audio(b"payload", 512, fake=True)
+        np.testing.assert_array_equal(a, b)
+        assert a.shape == (512,) and a.dtype == np.float32
+        assert (a >= -1).all() and (a < 1).all()
+
+    def test_audio_features_shape(self, spark):
+        from rastr_spark.functions.multimodal import audio_features, synthesize_media
+
+        media = synthesize_media(spark, 30)
+        feats = audio_features(media, n_windows=8).collect()
+        assert len(feats) == 10  # one third are audio
+        for r in feats:
+            assert len(r["feature"]) == 8
+            assert all(0.0 <= v <= 1.0 for v in r["feature"])
+
+    def test_image_resize_payload_and_meta(self, spark):
+        import numpy as np
+        from rastr_spark.functions.multimodal import (
+            decode_image,
+            image_resize,
+            synthesize_media,
+        )
+
+        media = synthesize_media(spark, 9)
+        out = {r["media_id"]: r for r in image_resize(media, width=4, height=8).collect()}
+        assert len(out) == 3  # images only
+        r = out["m-0"]
+        assert r["meta"]["width"] == 4 and r["meta"]["height"] == 8 and r["meta"]["channels"] == 3
+        buf = np.frombuffer(r["payload"], dtype=np.uint8).reshape(8, 4, 3)
+        # nearest-neighbour: resized pixels must come from the source image
+        src_payload = {x["media_id"]: x["payload"] for x in media.collect()}["m-0"]
+        src = decode_image(src_payload, 16, 16, 3, fake=True)
+        rows = (np.arange(8) * 16 // 8).clip(0, 15)
+        cols = (np.arange(4) * 16 // 4).clip(0, 15)
+        np.testing.assert_array_equal(buf, src[rows][:, cols])

@@ -491,9 +491,16 @@ comp AS (SELECT node, min(lab) AS comp FROM r GROUP BY node)"""
 
 _ORACLE_DEDUP_FUZZY = f"""
 WITH RECURSIVE alldocs AS ({_FUZZY_CORPUS_SQL}),
-{_fuzzy_cc_sql("alldocs")}
-SELECT d.doc_id AS doc_id, coalesce(c.comp, d.doc_id) AS canonical_id
-FROM alldocs d LEFT JOIN comp c ON c.node = d.doc_id
+-- exact reps-by-text pre-pass, mirroring fuzzy_dedup_assign stage 0: LSH/CC
+-- run over one representative per distinct text, and every doc maps
+-- text -> rep -> component min. Without it, byte-identical docs too short to
+-- shingle (no grams, no buckets) would get canonical_id=self here but min-id
+-- in Spark — a latent parity divergence masked by long generated texts.
+reps AS (SELECT text, min(doc_id) AS rep FROM alldocs GROUP BY text),
+rsrc AS (SELECT rep AS doc_id, text FROM reps),
+{_fuzzy_cc_sql("rsrc")}
+SELECT d.doc_id AS doc_id, coalesce(c.comp, r.rep) AS canonical_id
+FROM alldocs d JOIN reps r USING (text) LEFT JOIN comp c ON c.node = r.rep
 """
 
 
@@ -992,7 +999,18 @@ WHERE (x > 10 AND x < 100 AND y > 10 AND y < 80)
 
 # -- flagship: oracled via a materialized doc table --------------------------
 
-_FLAGSHIP_DOCS_PATH = "/tmp/rastr_spark_oracle_flagship_docs"
+# Oracle artifacts (Spark-materialized inputs the DuckDB twins replay from) live
+# under a PER-PROCESS directory: queries() and oracle_sql() are served from the
+# same module import, so the paths agree within a harness run, while concurrent
+# harness runs can never overwrite each other's artifacts mid-comparison.
+import os as _os
+import tempfile as _tempfile
+
+_ORACLE_ART_DIR = _os.path.join(
+    _tempfile.gettempdir(), f"rastr_spark_oracle_{_os.getpid()}"
+)
+
+_FLAGSHIP_DOCS_PATH = f"{_ORACLE_ART_DIR}/flagship_docs"
 _FLAGSHIP_N_DOCS = 2000
 
 
@@ -1121,7 +1139,7 @@ WHERE rank <= 5
 """
 
 
-_IVF_CENTROIDS_PATH = "/tmp/rastr_spark_oracle_ivf_centroids"
+_IVF_CENTROIDS_PATH = f"{_ORACLE_ART_DIR}/ivf_centroids"
 
 
 def _q_ivf_topk(spark, sf_dir):

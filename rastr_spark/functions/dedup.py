@@ -28,21 +28,71 @@ from pyspark.sql import functions as F
 
 from .text import tokens, word_ngrams
 
+# 128-bit content fingerprint (+ length) — the SAME key streaming_dedup_exact
+# (streaming/updates.py) uses for bounded state. Batch exact dedup and the
+# fuzzy rep mapping group/join on THIS instead of the raw text, so at corpus
+# scale the shuffle moves ~20 bytes of key per doc instead of the full document
+# bytes (the dominant avoidable cost of text-keyed dedup at 100 TB). A false
+# merge of two DISTINCT texts requires both 64-bit hashes AND the lengths to
+# collide simultaneously: P ≈ pairs·2⁻¹²⁸ — negligible at any corpus size.
+_FP_SEED = 0x5EED
+_FP_NAMES = ["_fp1", "_fp2", "_fpl"]
 
-def exact_duplicates(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+
+def _fp_cols(text_col: str) -> list[Column]:
+    # seed literal FIRST: Spark's XxHash64 folds args left-to-right with the
+    # running hash as seed — (text, lit) would make _fp2 a pure function of
+    # _fp1; (lit, text) hashes under a genuinely independent seed
+    return [
+        F.xxhash64(F.col(text_col)).alias("_fp1"),
+        F.xxhash64(F.lit(_FP_SEED), F.col(text_col)).alias("_fp2"),
+        F.length(F.col(text_col)).alias("_fpl"),
+    ]
+
+
+def _group_keys(docs: DataFrame, text_col: str, key: str) -> tuple[DataFrame, list[str]]:
+    """(docs-with-key-columns, key-column-names) for the chosen keying mode.
+
+    key='fingerprint' (default, the scale path): fixed-width 128-bit+length
+    content key. key='text': group on the raw text — the paranoid byte-exact
+    path (shuffles full document bytes as key material; identical results
+    unless a 128-bit fingerprint collision occurs).
+    """
+    if key == "text":
+        return docs, [text_col]
+    if key != "fingerprint":
+        raise ValueError(f"unknown key mode: {key!r} (use 'fingerprint' or 'text')")
+    return docs.select("*", *_fp_cols(text_col)), list(_FP_NAMES)
+
+
+def exact_duplicates(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
+    key: str = "fingerprint",
+) -> DataFrame:
     """Groups of byte-identical texts: (canonical_id, dup_count), dup_count ≥ 2."""
+    keyed, keys = _group_keys(docs, text_col, key)
     return (
-        docs.groupBy(F.col(text_col).alias("_t"))
+        keyed.groupBy(*keys)
         .agg(F.min(id_col).alias("canonical_id"), F.count("*").alias("dup_count"))
         .filter(F.col("dup_count") >= 2)
-        .drop("_t")
+        .select("canonical_id", "dup_count")
     )
 
 
-def dedup_exact(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Keep one row per distinct text — min(id) survivor, deterministic."""
-    w_ids = docs.groupBy(text_col).agg(F.min(id_col).alias(id_col))
-    return docs.join(w_ids, [text_col, id_col], "left_semi")
+def dedup_exact(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
+    key: str = "fingerprint",
+) -> DataFrame:
+    """Keep one row per distinct text — min(id) survivor, deterministic.
+
+    The shuffle (groupBy + semi-join) is keyed on the 128-bit fingerprint by
+    default, never the document bytes; pass ``key='text'`` for the byte-exact
+    paranoid path.
+    """
+    keyed, keys = _group_keys(docs, text_col, key)
+    w_ids = keyed.groupBy(*keys).agg(F.min(id_col).alias(id_col))
+    out = keyed.join(w_ids, keys + [id_col], "left_semi")
+    return out.drop(*_FP_NAMES) if key == "fingerprint" else out
 
 
 def ngram_jaccard_pairs(
@@ -407,6 +457,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iters: int = 25,
+    metrics: list | None = None,
 ) -> DataFrame:
     """(node, comp) — comp = the minimum node id in each connected component.
 
@@ -430,7 +481,15 @@ def connected_components(
 
     Raises RuntimeError if not converged after ``max_iters`` — returning
     un-converged labels would silently split components.
+
+    ``metrics``: optional list; each round appends
+    ``{"round": i, "changed": n, "wall_sec": s}`` — convergence telemetry a
+    100 TB run logs to its checkpoint metrics table so mid-clustering progress
+    is observable/resumable (the north-rule lineage story applied to the one
+    iterative operator; see tests/test_checkpoint.py for the wiring).
     """
+    import time as _time
+
     nodes = (
         edges.select(F.col(src).alias("node"))
         .unionByName(edges.select(F.col(dst).alias("node")))
@@ -440,7 +499,8 @@ def connected_components(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     )
     labels = nodes.withColumn("comp", F.col("node")).localCheckpoint(eager=True)
-    for _ in range(max_iters):
+    for round_i in range(max_iters):
+        t0 = _time.time()
         nbr_min = (
             sym.join(labels.select(F.col("node").alias("v"), F.col("comp").alias("vc")), "v")
             .groupBy("u")
@@ -472,6 +532,11 @@ def connected_components(
             .count()
         )
         labels = new_labels
+        if metrics is not None:
+            metrics.append(
+                {"round": round_i, "changed": int(changed),
+                 "wall_sec": round(_time.time() - t0, 4)}
+            )
         if changed == 0:
             return labels
     raise RuntimeError(
@@ -492,6 +557,8 @@ def fuzzy_dedup_assign(
     hash_family: str = "xxhash64",
     max_iters: int = 25,
     max_bucket_size: int | None = None,
+    key: str = "fingerprint",
+    cc_metrics: list | None = None,
 ) -> DataFrame:
     """End-to-end fuzzy dedup: (doc_id, canonical_id) for EVERY input doc.
 
@@ -519,8 +586,23 @@ def fuzzy_dedup_assign(
 
     Keep-one-per-cluster filter: ``out.filter(F.col(id_col) ==
     F.col("canonical_id"))`` semi-joined back to the docs.
+
+    Shuffle-key discipline: both ends of the pipeline — the exact pre-pass
+    groupBy and the final text→representative join-back — are keyed on the
+    128-bit content fingerprint (``key='fingerprint'``, default), so document
+    bytes travel the wire exactly once (as VALUES into the LSH stage), never
+    as groupBy/join KEY material. ``key='text'`` restores raw-text keys.
+
+    ``cc_metrics``: optional list that receives the connected-components
+    per-round telemetry dicts (see :func:`connected_components`).
     """
-    reps = docs.groupBy(text_col).agg(F.min(id_col).alias(id_col))
+    keyed, keys = _group_keys(docs.select(id_col, text_col), text_col, key)
+    rep_ids = keyed.groupBy(*keys).agg(F.min(id_col).alias("_rep"))
+    # representatives WITH text (the LSH input): min-id row per distinct text
+    reps = (
+        keyed.join(rep_ids.withColumnRenamed("_rep", id_col), keys + [id_col], "left_semi")
+        .select(id_col, text_col)
+    )
     cands = minhash_candidate_pairs(
         reps, n=n, num_hashes=num_hashes, bands=bands,
         id_col=id_col, text_col=text_col, hash_family=hash_family,
@@ -542,10 +624,10 @@ def fuzzy_dedup_assign(
     )
     # comp is an eager localCheckpoint (see connected_components): its storage
     # is GC-bounded by the result's lifetime, never a session-lifetime cache
-    comp = connected_components(edges, max_iters=max_iters)
-    rep_of = docs.select(id_col, text_col).join(
-        reps.withColumnRenamed(id_col, "_rep"), text_col
-    )
+    comp = connected_components(edges, max_iters=max_iters, metrics=cc_metrics)
+    # doc → representative mapping joined on the fixed-width key columns only
+    # (text is projected OUT before the shuffle in fingerprint mode)
+    rep_of = keyed.select(id_col, *keys).join(rep_ids, keys)
     return rep_of.join(
         comp.withColumnRenamed("node", "_rep"), "_rep", "left"
     ).select(

@@ -211,6 +211,14 @@ def read_geotiff(path: str | Path) -> tuple[np.ndarray, "object", int | None, fl
     kind = {1: "u", 2: "i", 3: "f"}.get(sfmt)
     if kind is None or bits % 8:
         raise GeoTiffFormatError(f"sample format {sfmt}/{bits} bits unsupported")
+    # TIFF 6.0 + TechNote 3: predictor 2 (horizontal differencing) is defined
+    # for integer samples only, predictor 3 (byte-plane delta) for floating
+    # point only — a mismatched file would otherwise decode to silent garbage
+    # (the int path truncates floats via astype(int64))
+    if predictor == 2 and kind == "f":
+        raise GeoTiffFormatError("predictor 2 is invalid for floating-point samples")
+    if predictor == 3 and kind != "f":
+        raise GeoTiffFormatError("predictor 3 is invalid for integer samples")
     dt = np.dtype(f"{bo}{kind}{bits // 8}")
 
     def decode_segment(off: int, nbytes: int, seg_h: int, seg_w: int) -> np.ndarray:

@@ -281,9 +281,10 @@ class TestFuzzyDedupScaleGuards:
         pairs = D.minhash_candidate_pairs(
             docs, n=2, num_hashes=8, bands=4, max_bucket_size=50
         ).collect()
-        ids = {i for p in pairs for i in (p["id_a"], p["id_b"])}
         assert len(pairs) <= 50 * 50 * 4  # bounded, never ~300²
-        assert not ({1000, 1001} - ids) or True  # pair may or may not share a bucket; bound is the contract
+        # the planted distinct pair occupies its own (non-hot) buckets, so the
+        # cap must NOT cost it: recall loss is confined to degenerate buckets
+        assert (1000, 1001) in {(p["id_a"], p["id_b"]) for p in pairs}
 
 
 class TestConnectedComponentsLongChain:

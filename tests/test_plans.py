@@ -129,6 +129,48 @@ class TestCodegen:
         assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
 
 
+class TestFingerprintShuffleKeys:
+    """At 100 TB the exact-dedup groupBy and the fuzzy rep join-back must key
+    their shuffles on the fixed-width 128-bit fingerprint, never the document
+    bytes — text travels as VALUES into LSH exactly once."""
+
+    def _hash_part_lines(self, p: str) -> list[str]:
+        return [ln for ln in p.splitlines() if "hashpartitioning" in ln]
+
+    def test_dedup_exact_keys_on_fingerprint(self, spark):
+        from rastr_spark.functions.dedup import dedup_exact
+
+        docs = spark.createDataFrame(
+            [(0, "alpha beta"), (1, "alpha beta"), (2, "gamma")], "doc_id long, text string"
+        )
+        p = plan(dedup_exact(docs))
+        lines = self._hash_part_lines(p)
+        assert lines, f"expected a hash shuffle in the dedup plan:\n{p}"
+        assert any("_fp1" in ln for ln in lines), f"fingerprint key missing:\n{p}"
+        assert all("text#" not in ln for ln in lines), (
+            f"document text used as a shuffle key:\n{p}"
+        )
+
+    def test_dedup_exact_text_mode_still_available(self, spark):
+        from rastr_spark.functions.dedup import dedup_exact
+
+        docs = spark.createDataFrame([(0, "a"), (1, "a")], "doc_id long, text string")
+        p = plan(dedup_exact(docs, key="text"))
+        assert any("text#" in ln for ln in self._hash_part_lines(p)), p
+
+    def test_fuzzy_rep_mapping_keys_on_fingerprint(self, spark):
+        from rastr_spark.functions.dedup import fuzzy_dedup_assign
+
+        docs = spark.createDataFrame(
+            [(0, "a b c d"), (1, "a b c d"), (2, "a b c e f")], "doc_id long, text string"
+        )
+        p = plan(fuzzy_dedup_assign(docs, n=2, num_hashes=4, bands=2))
+        lines = self._hash_part_lines(p)
+        assert lines and all("text#" not in ln for ln in lines), (
+            f"fuzzy pipeline shuffles document text as a key:\n{p}"
+        )
+
+
 class TestBucketedStore:
     def test_bucketed_raster_add_is_shuffle_free(self, spark, rf, tmp_path):
         # the 100 TB co-location path: two rasters bucketed on the tile key join

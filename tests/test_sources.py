@@ -575,6 +575,65 @@ class TestGeoTiffDeflate:
             write_geotiff(tmp_path / "x.tif", np.zeros((2, 2)), Affine(1, 0, 0, 0, -1, 2),
                           "EPSG:2193", predictor=3)
 
+    @staticmethod
+    def _craft_tif(path, payload, *, bits, sample_format, predictor, h, w):
+        """Minimal deflate-compressed single-strip TIFF with arbitrary
+        predictor/sample-format tags (for invalid-combination tests)."""
+        import struct
+        from rastr_spark.sources.geotiff import _entry
+
+        bo = "<"
+        tags = [
+            (256, 3, [w]), (257, 3, [h]), (258, 3, [bits]), (259, 3, [8]),
+            (262, 3, [1]), (273, 4, None), (277, 3, [1]), (278, 4, [h]),
+            (279, 4, [len(payload)]), (284, 3, [1]), (317, 3, [predictor]),
+            (339, 3, [sample_format]),
+            (33550, 12, [1.0, 1.0, 0.0]),
+            (33922, 12, [0.0, 0.0, 0.0, 0.0, float(h), 0.0]),
+        ]
+        n = len(tags)
+        entries_end = 8 + 2 + 12 * n + 4
+        extra = bytearray()
+        for tag, typ, vals in tags:
+            _entry(bo, tag, typ, [0] if vals is None else vals, extra, entries_end)
+        data_off = entries_end + len(extra)
+        extra = bytearray()
+        ents = b""
+        for tag, typ, vals in tags:
+            ents += _entry(bo, tag, typ, [data_off] if vals is None else vals, extra, entries_end)
+        buf = struct.pack(bo + "2sHI", b"II", 42, 8)
+        buf += struct.pack(bo + "H", n) + ents + struct.pack(bo + "I", 0) + bytes(extra)
+        buf += b"\x00" * (data_off - len(buf)) + payload
+        path.write_bytes(buf)
+
+    def test_predictor2_float_rejected(self, tmp_path):
+        # TIFF restricts predictor 2 to integer data; a float file claiming it
+        # must raise, not silently truncate floats to garbage (ADVICE r3)
+        import zlib
+        import numpy as np
+        import pytest
+        from rastr_spark.sources.geotiff import GeoTiffFormatError, read_geotiff
+
+        arr = np.array([[1.5, 2.5]], dtype=np.float32)
+        payload = zlib.compress(arr.astype("<f4").tobytes())
+        self._craft_tif(tmp_path / "bad.tif", payload, bits=32, sample_format=3,
+                        predictor=2, h=1, w=2)
+        with pytest.raises(GeoTiffFormatError, match="predictor 2"):
+            read_geotiff(tmp_path / "bad.tif")
+
+    def test_predictor3_integer_rejected(self, tmp_path):
+        import zlib
+        import numpy as np
+        import pytest
+        from rastr_spark.sources.geotiff import GeoTiffFormatError, read_geotiff
+
+        arr = np.array([[1, 2]], dtype=np.uint16)
+        payload = zlib.compress(arr.astype("<u2").tobytes())
+        self._craft_tif(tmp_path / "bad3.tif", payload, bits=16, sample_format=1,
+                        predictor=3, h=1, w=2)
+        with pytest.raises(GeoTiffFormatError, match="predictor 3"):
+            read_geotiff(tmp_path / "bad3.tif")
+
 
 class TestGeoTiffLzw:
     """Pure-Python TIFF-LZW (TIFF 6.0 §13: MSB-first, early change) — the other

@@ -41,6 +41,17 @@ from rastr_spark.plans.flagship import doc_zonal_stats
 from rastr_spark.sources.documents import generate_documents
 from rastr_spark.tiles import RasterFrame
 
+# Oracle artifacts (Spark-materialized inputs the DuckDB twins replay from) live
+# under a PER-PROCESS directory: queries() and oracle_sql() are served from the
+# same module import, so the paths agree within a harness run, while concurrent
+# harness runs can never overwrite each other's artifacts mid-comparison.
+import os as _os
+import tempfile as _tempfile
+
+_ORACLE_ART_DIR = _os.path.join(
+    _tempfile.gettempdir(), f"rastr_spark_oracle_{_os.getpid()}"
+)
+
 GRID = 64
 CELL = 8.0
 WORLD = GRID * CELL  # 512.0
@@ -394,15 +405,42 @@ WHERE i::double / (sa.n + sb.n - i) >= 0.5
 """
 
 
+# Count of docs that produce ≥1 shingle (len(ts) >= n=3) — the staleness guard
+# every materialized-artifact dedup oracle checks its artifact cardinality
+# against, so a missing/stale artifact fails parity loudly.
+_N_SHINGLED_DOCS_SQL = f"(SELECT count(*) FROM ({_TOKS_SQL}) WHERE len(ts) >= 3)"
+
+
 def _q_ngram_jaccard_fast(spark, sf_dir):
-    # production path: 8-byte xxhash64 gram keys on the shuffle/join instead of
-    # gram strings. No DuckDB xxhash64 → rows-only; hash-vs-string equality is
-    # covered in tests (test_dedup) and the string variant IS hash-oracled.
+    """Production Jaccard path — 8-byte xxhash64 gram keys on the shuffle/join
+    instead of gram strings. Hash-oracled via the materialized-artifact
+    pattern (sim_ivf_topk): the hashed (id, gram) table — the only step DuckDB
+    cannot reproduce (no xxhash64) — is written to parquet, and the oracle
+    replays ALL downstream logic (hot-gram cap, sizes, equi-join, Jaccard,
+    threshold) independently in SQL."""
     d = _read(spark, sf_dir, "documents")
-    out = D.ngram_jaccard_pairs(
-        d, n=3, threshold=0.5, max_doc_freq=_JACCARD_MAX_DF, hash_grams=True
-    )
+    grams = D.hashed_grams(d, n=3)
+    path = f"{_ORACLE_ART_DIR}/jaccard_grams"
+    grams.write.mode("overwrite").parquet(path)
+    g2 = spark.read.parquet(path)
+    out = D.jaccard_pairs_from_grams(g2, threshold=0.5, max_doc_freq=_JACCARD_MAX_DF)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+_ORACLE_JACCARD_FAST = f"""
+WITH g0 AS (SELECT * FROM read_parquet('{_ORACLE_ART_DIR}/jaccard_grams/*.parquet')),
+hot AS (SELECT gram FROM g0 GROUP BY gram HAVING count(*) > {_JACCARD_MAX_DF}),
+g AS (SELECT * FROM g0 WHERE gram NOT IN (SELECT gram FROM hot)),
+sizes AS (SELECT id, count(*) AS n FROM g GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+  FROM g a JOIN g b USING (gram) WHERE a.id < b.id GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(i::double / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+WHERE i::double / (sa.n + sb.n - i) >= 0.5
+  AND (SELECT count(DISTINCT id) FROM g0) = {_N_SHINGLED_DOCS_SQL}
+"""
 
 
 def _fuzzy_corpus(spark, sf_dir):
@@ -661,25 +699,79 @@ def _q_minhash_lsh(spark, sf_dir):
 
 
 def _q_minhash_fast(spark, sf_dir):
-    # xxhash64 int signatures: the production path (no DuckDB xxhash64 → rows-only
-    # oracle; banding semantics proven by dedup_minhash_lsh, fast-vs-md5 candidate
-    # agreement covered in tests/test_documents.py).
+    """Production MinHash path (xxhash64 int signatures) — hash-oracled via the
+    materialized-artifact pattern: the (id, sig) signature table is written to
+    parquet, then Spark derives candidate pairs through the REAL banding path
+    (bucket = xxhash64 over the band's longs) while DuckDB replays banding as
+    direct band-slice equality from the same artifact. The pair sets agree
+    exactly (bucket equality ⇔ slice equality, modulo 64-bit collisions), so
+    everything downstream of the hash function is independently verified."""
     d = _read(spark, sf_dir, "documents")
-    return D.minhash_lsh_buckets(d, n=3, num_hashes=8, bands=4, hash_family="xxhash64").select(
-        "id", "band", "bucket"
-    )
+    sig = D.minhash_signatures_df(d, n=3, num_hashes=8, hash_family="xxhash64")
+    path = f"{_ORACLE_ART_DIR}/minhash_sigs"
+    sig.write.mode("overwrite").parquet(path)
+    sig2 = spark.read.parquet(path)
+    b = D.lsh_buckets_from_signatures(sig2, num_hashes=8, bands=4, hash_family="xxhash64")
+    return D.candidate_pairs_from_buckets(b).select("id_a", "id_b")
+
+
+_MINHASH_FAST_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT id, {bi} AS band, sig[{2 * bi + 1}] AS s1, sig[{2 * bi + 2}] AS s2 FROM sig"
+    for bi in range(4)
+)
+
+_ORACLE_MINHASH_FAST = f"""
+WITH sig AS (SELECT * FROM read_parquet('{_ORACLE_ART_DIR}/minhash_sigs/*.parquet')),
+b AS ({_MINHASH_FAST_BANDS_SQL})
+SELECT DISTINCT a.id AS id_a, b2.id AS id_b
+FROM b a JOIN b b2 USING (band, s1, s2)
+WHERE a.id < b2.id
+  AND (SELECT count(*) FROM sig) = {_N_SHINGLED_DOCS_SQL}
+"""
 
 
 def _q_simhash_hamming(spark, sf_dir):
-    # planted near-dups: copies of the first 50 docs with one token appended →
-    # small Hamming perturbation; recovered via pigeonhole block banding.
+    """Planted near-dups: copies of the first 50 docs with one token appended →
+    small Hamming perturbation; recovered via pigeonhole block banding.
+
+    Hash-oracled via the materialized-artifact pattern: the (id, simhash)
+    table is written to parquet and DuckDB independently replays block
+    extraction (shift+mask), the (band, block) bucket join, the exact Hamming
+    distance (bit_count(xor)), the threshold, and pair dedup."""
     d = _read(spark, sf_dir, "documents").select("doc_id", "text")
     flipped = d.filter(F.col("doc_id") < 50).select(
         (F.col("doc_id") + 200000).alias("doc_id"), F.concat("text", F.lit(" zzqx")).alias("text")
     )
-    return D.simhash_hamming_pairs(d.unionByName(flipped), max_hamming=3, bands=4).select(
+    sh = D.simhash_table(d.unionByName(flipped))
+    path = f"{_ORACLE_ART_DIR}/simhash_planted"
+    sh.write.mode("overwrite").parquet(path)
+    sh2 = spark.read.parquet(path)
+    return D.simhash_hamming_pairs_from_table(sh2, max_hamming=3, bands=4).select(
         "id_a", "id_b", "hamming"
     )
+
+
+# (simhash >> (16·band)) & 65535: DuckDB's arithmetic >> sign-extends BIGINTs,
+# but the mask strips the extension bits, so the result equals Spark's
+# shiftrightunsigned+mask for every band including the top one.
+_SIMHASH_BLOCKS_SQL = " UNION ALL ".join(
+    f"SELECT id, simhash, {bi} AS band, (simhash >> {16 * bi}) & 65535 AS block FROM sh"
+    for bi in range(4)
+)
+
+_ORACLE_SIMHASH_HAMMING = f"""
+WITH sh AS (SELECT * FROM read_parquet('{_ORACLE_ART_DIR}/simhash_planted/*.parquet')),
+b AS ({_SIMHASH_BLOCKS_SQL}),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b2.id AS id_b,
+         bit_count(xor(a.simhash, b2.simhash)) AS hamming
+  FROM b a JOIN b b2 USING (band, block)
+  WHERE a.id < b2.id
+)
+SELECT id_a, id_b, hamming FROM pairs
+WHERE hamming <= 3
+  AND (SELECT count(*) FROM sh) = (SELECT count(*) FROM documents) + 50
+"""
 
 
 def _minhash_oracle() -> str:
@@ -999,17 +1091,6 @@ WHERE (x > 10 AND x < 100 AND y > 10 AND y < 80)
 
 # -- flagship: oracled via a materialized doc table --------------------------
 
-# Oracle artifacts (Spark-materialized inputs the DuckDB twins replay from) live
-# under a PER-PROCESS directory: queries() and oracle_sql() are served from the
-# same module import, so the paths agree within a harness run, while concurrent
-# harness runs can never overwrite each other's artifacts mid-comparison.
-import os as _os
-import tempfile as _tempfile
-
-_ORACLE_ART_DIR = _os.path.join(
-    _tempfile.gettempdir(), f"rastr_spark_oracle_{_os.getpid()}"
-)
-
 _FLAGSHIP_DOCS_PATH = f"{_ORACLE_ART_DIR}/flagship_docs"
 _FLAGSHIP_N_DOCS = 2000
 
@@ -1083,7 +1164,23 @@ GROUP BY 1, 2
 
 
 def _q_simhash(spark, sf_dir):
-    return D.simhash_groups(_dup_docs(spark, sf_dir)).select("simhash", "n", "canonical_id")
+    """SimHash identical-fingerprint groups, hash-oracled via the materialized
+    (id, simhash) artifact: DuckDB replays the grouping/count/min + HAVING
+    independently — everything but the xxhash64-based fingerprint itself."""
+    sh = D.simhash_table(_dup_docs(spark, sf_dir))
+    path = f"{_ORACLE_ART_DIR}/simhash_dups"
+    sh.write.mode("overwrite").parquet(path)
+    sh2 = spark.read.parquet(path)
+    return D.simhash_groups_from_table(sh2).select("simhash", "n", "canonical_id")
+
+
+_ORACLE_SIMHASH = f"""
+WITH sh AS (SELECT * FROM read_parquet('{_ORACLE_ART_DIR}/simhash_dups/*.parquet'))
+SELECT simhash, count(*) AS n, min(id) AS canonical_id
+FROM sh
+WHERE (SELECT count(*) FROM sh) = (SELECT count(*) FROM documents) + 100
+GROUP BY simhash HAVING count(*) >= 2
+"""
 
 
 def _q_srp_topk(spark, sf_dir):
@@ -1365,7 +1462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_rasterize_boxes": _q_rasterize_boxes,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
-        "dedup_ngram_jaccard_fast": _q_ngram_jaccard_fast,  # xxhash64 keys: rows-only
+        "dedup_ngram_jaccard_fast": _q_ngram_jaccard_fast,  # gram-hash artifact oracle
         "dedup_fuzzy": _q_dedup_fuzzy,
         "pipeline_curate": _q_pipeline_curate,
         "dedup_minhash_lsh": _q_minhash_lsh,
@@ -1382,10 +1479,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_srp_topk": _q_srp_topk,
         # oracle-verified: centroid index materialized, probing replayed in SQL
         "sim_ivf_topk": _q_ivf_topk,
-        # rows-only (no SQL-expressible oracle):
-        "dedup_minhash_fast": _q_minhash_fast,  # xxhash64: not in DuckDB; md5 twin IS oracled
+        # oracle-verified via materialized hash artifacts (signatures / simhash
+        # tables written to parquet; all downstream logic replayed in SQL):
+        "dedup_minhash_fast": _q_minhash_fast,
         "dedup_simhash": _q_simhash,
-        "dedup_simhash_hamming": _q_simhash_hamming,  # xxhash64-based simhash
+        "dedup_simhash_hamming": _q_simhash_hamming,
+        # rows-only (no SQL-expressible oracle — stub codec):
         "multimodal_image_features": _q_multimodal_features,
         "raster_contour_summary": _q_contour,
         # oracle-verified: fixed Delaunay embedded as VALUES, barycentric in SQL
@@ -1429,4 +1528,8 @@ def oracle_sql() -> dict[str, str]:
         "sim_srp_topk": _srp_oracle(),
         "flagship_doc_zonal": _ORACLE_FLAGSHIP,
         "sim_ivf_topk": _ORACLE_IVF,
+        "dedup_ngram_jaccard_fast": _ORACLE_JACCARD_FAST,
+        "dedup_minhash_fast": _ORACLE_MINHASH_FAST,
+        "dedup_simhash": _ORACLE_SIMHASH,
+        "dedup_simhash_hamming": _ORACLE_SIMHASH_HAMMING,
     }

@@ -130,18 +130,27 @@ def ngram_jaccard_pairs(
     if hash_grams:
         grams = grams.select("id", F.xxhash64("gram").alias("gram"))
     if max_doc_freq is not None:
-        # grams are distinct per doc (word_ngrams dedupes), so count(*) = doc freq.
-        hot = (
-            grams.groupBy("gram")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") > max_doc_freq)
-            .select("gram")
-        )
-        grams = grams.join(F.broadcast(hot), "gram", "left_anti")
+        grams = _drop_hot_grams(grams, max_doc_freq)
         sizes = grams.groupBy("id").agg(F.count("*").alias("n_grams"))
     else:
         # per-doc gram count == array size: skip the whole sizes explode pass
         sizes = docs.select(F.col(id_col).alias("id"), F.size(gram_arr).alias("n_grams"))
+    return _jaccard_join(grams, sizes, threshold)
+
+
+def _drop_hot_grams(grams: DataFrame, max_doc_freq: int) -> DataFrame:
+    # grams are distinct per doc (word_ngrams dedupes), so count(*) = doc freq.
+    hot = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_doc_freq)
+        .select("gram")
+    )
+    return grams.join(F.broadcast(hot), "gram", "left_anti")
+
+
+def _jaccard_join(grams: DataFrame, sizes: DataFrame, threshold: float) -> DataFrame:
+    """(id_a, id_b, jaccard ≥ threshold) from exploded (id, gram) + per-doc sizes."""
     a = grams.alias("a")
     b = grams.alias("b")
     inter = (
@@ -150,7 +159,7 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count("*").alias("inter"))
     )
-    out = (
+    return (
         inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_grams", "na"), "id_a")
         .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_grams", "nb"), "id_b")
         .withColumn(
@@ -161,7 +170,31 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return out
+
+
+def hashed_grams(
+    docs: DataFrame, *, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exploded (id, gram) with 8-byte xxhash64 gram keys — the production
+    Jaccard substrate, and the materializable artifact its DuckDB oracle
+    replays from (everything downstream of the hash function is plain SQL)."""
+    gram_arr = word_ngrams(F.col(text_col), n)
+    return docs.select(F.col(id_col).alias("id"), F.explode(gram_arr).alias("gram")).select(
+        "id", F.xxhash64("gram").alias("gram")
+    )
+
+
+def jaccard_pairs_from_grams(
+    grams: DataFrame, *, threshold: float = 0.8, max_doc_freq: int | None = None
+) -> DataFrame:
+    """Jaccard candidate pairs from a pre-built (id, gram) table (e.g. a
+    :func:`hashed_grams` artifact): hot-gram cap → per-doc sizes → gram
+    equi-join → threshold. Identical semantics to :func:`ngram_jaccard_pairs`
+    with ``max_doc_freq`` set, over any gram representation."""
+    if max_doc_freq is not None:
+        grams = _drop_hot_grams(grams, max_doc_freq)
+    sizes = grams.groupBy("id").agg(F.count("*").alias("n_grams"))
+    return _jaccard_join(grams, sizes, threshold)
 
 
 def minhash_signature(
@@ -225,7 +258,29 @@ def minhash_lsh_buckets(
     band slice (string bucket) — bit-for-bit reproducible in DuckDB; used by
     the oracle query only.
     """
-    rows_per_band = num_hashes // bands
+    d = minhash_signatures_df(
+        docs, n=n, num_hashes=num_hashes, id_col=id_col, text_col=text_col,
+        hash_family=hash_family,
+    )
+    return lsh_buckets_from_signatures(
+        d, num_hashes=num_hashes, bands=bands, hash_family=hash_family
+    )
+
+
+def minhash_signatures_df(
+    docs: DataFrame,
+    *,
+    n: int = 3,
+    num_hashes: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """(id, sig) MinHash signature table — the INDEX artifact of the dedup
+    pipeline. Materialized to parquet, it is the trusted input the DuckDB
+    oracle replays banding/pair-generation from (the only step SQL cannot
+    reproduce is the xxhash64 itself). sig is array<bigint> ('xxhash64') or
+    array<string> ('md5')."""
 
     def _md5_min(i: int):
         # one-arg lambda only: a 2-param lambda would be bound as (element, index)
@@ -240,10 +295,42 @@ def minhash_lsh_buckets(
         grams_df = docs.select(
             F.col(id_col).alias("id"), word_ngrams(F.col(text_col), n).alias("grams")
         ).filter(F.size("grams") > 0)
-        d = grams_df.select(
+        return grams_df.select(
             "id",
             F.array(*[_md5_min(i) for i in range(num_hashes)]).alias("sig"),
         )
+    if hash_family != "xxhash64":
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
+    toks_df = docs.select(
+        F.col(id_col).alias("id"),
+        F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t)).alias("th"),
+    ).filter(F.size("th") >= n)
+    shingle_idx = F.sequence(F.lit(0), F.size("th") - n)
+
+    def _shingle(i):
+        return F.xxhash64(*[F.element_at("th", i + k + 1) for k in range(n)])
+
+    hashed = toks_df.select(
+        "id", F.array_distinct(F.transform(shingle_idx, _shingle)).alias("gh")
+    )
+    return hashed.select(
+        "id",
+        F.array(*[_xx_min(i) for i in range(num_hashes)]).alias("sig"),
+    )
+
+
+def lsh_buckets_from_signatures(
+    sig_df: DataFrame, *, num_hashes: int = 16, bands: int = 4,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """(id, band, bucket) banding over a (id, sig) signature table.
+
+    'xxhash64': bucket = one xxhash64 over the band's longs (8-byte bucket on
+    the shuffle — two docs share a bucket iff their band slices are equal,
+    modulo 64-bit collisions). 'md5': bucket = concat_ws of the band's hex
+    strings (bit-equal band slices, portable to the SQL oracle)."""
+    rows_per_band = num_hashes // bands
+    if hash_family == "md5":
         bands_arr = F.array(
             *[
                 F.struct(
@@ -256,22 +343,6 @@ def minhash_lsh_buckets(
             ]
         )
     elif hash_family == "xxhash64":
-        toks_df = docs.select(
-            F.col(id_col).alias("id"),
-            F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t)).alias("th"),
-        ).filter(F.size("th") >= n)
-        shingle_idx = F.sequence(F.lit(0), F.size("th") - n)
-
-        def _shingle(i):
-            return F.xxhash64(*[F.element_at("th", i + k + 1) for k in range(n)])
-
-        hashed = toks_df.select(
-            "id", F.array_distinct(F.transform(shingle_idx, _shingle)).alias("gh")
-        )
-        d = hashed.select(
-            "id",
-            F.array(*[_xx_min(i) for i in range(num_hashes)]).alias("sig"),
-        )
         bands_arr = F.array(
             *[
                 F.struct(
@@ -285,8 +356,30 @@ def minhash_lsh_buckets(
         )
     else:
         raise ValueError(f"unknown hash_family: {hash_family!r}")
-    return d.select("id", F.explode(bands_arr).alias("bb")).select(
+    return sig_df.select("id", F.explode(bands_arr).alias("bb")).select(
         "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def candidate_pairs_from_buckets(
+    b: DataFrame, *, max_bucket_size: int | None = None
+) -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing ≥1 (band, bucket), with the
+    degenerate-bucket cap applied before the self-join."""
+    if max_bucket_size is not None:
+        hot = (
+            b.groupBy("band", "bucket")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > max_bucket_size)
+            .select("band", "bucket")
+        )
+        b = b.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
+    a, c = b.alias("a"), b.alias("b")
+    return (
+        a.join(c, ["band", "bucket"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
     )
 
 
@@ -307,21 +400,7 @@ def minhash_candidate_pairs(
         docs, n=n, num_hashes=num_hashes, bands=bands,
         id_col=id_col, text_col=text_col, hash_family=hash_family,
     )
-    if max_bucket_size is not None:
-        hot = (
-            b.groupBy("band", "bucket")
-            .agg(F.count("*").alias("n"))
-            .filter(F.col("n") > max_bucket_size)
-            .select("band", "bucket")
-        )
-        b = b.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
-    a, c = b.alias("a"), b.alias("b")
-    return (
-        a.join(c, ["band", "bucket"])
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
+    return candidate_pairs_from_buckets(b, max_bucket_size=max_bucket_size)
 
 
 def simhash64(text: Column) -> Column:
@@ -356,9 +435,13 @@ def _simhash_from_token_hashes(th: Column) -> Column:
     return out
 
 
-def _simhash_df(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def simhash_table(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
     """(id, simhash) with token hashes materialized ONCE per doc (the column form
-    of simhash64 would re-tokenize and re-hash per bit — 64×)."""
+    of simhash64 would re-tokenize and re-hash per bit — 64×). Materialized to
+    parquet this is the artifact the DuckDB oracles replay grouping/banding
+    from (everything downstream of the xxhash64-based simhash is plain SQL)."""
     th = docs.select(
         F.col(id_col).alias("id"),
         F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t)).alias("_th"),
@@ -366,14 +449,18 @@ def _simhash_df(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return th.select("id", _simhash_from_token_hashes(F.col("_th")).alias("simhash"))
 
 
-def simhash_groups(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Docs grouped by identical simhash (near-dup clusters at Hamming distance 0)."""
+def simhash_groups_from_table(sh: DataFrame) -> DataFrame:
+    """Grouping stage of :func:`simhash_groups` over a (id, simhash) table."""
     return (
-        _simhash_df(docs, id_col, text_col)
-        .groupBy("simhash")
+        sh.groupBy("simhash")
         .agg(F.count("*").alias("n"), F.min("id").alias("canonical_id"))
         .filter(F.col("n") >= 2)
     )
+
+
+def simhash_groups(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Docs grouped by identical simhash (near-dup clusters at Hamming distance 0)."""
+    return simhash_groups_from_table(simhash_table(docs, id_col=id_col, text_col=text_col))
 
 
 def simhash_hamming_pairs(
@@ -409,6 +496,22 @@ def simhash_hamming_pairs(
     confined to exactly the buckets that would not finish anyway). Bounds the
     worst-case join fan-out at max_bucket_size² rows per bucket.
     """
+    sh = simhash_table(docs, id_col=id_col, text_col=text_col)
+    return simhash_hamming_pairs_from_table(
+        sh, max_hamming=max_hamming, bands=bands, max_bucket_size=max_bucket_size
+    )
+
+
+def simhash_hamming_pairs_from_table(
+    sh: DataFrame,
+    *,
+    max_hamming: int = 2,
+    bands: int = 4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Banding + Hamming verification over a pre-built (id, simhash) table
+    (e.g. a :func:`simhash_table` parquet artifact) — see
+    :func:`simhash_hamming_pairs` for semantics."""
     if not 0 <= max_hamming < bands:
         raise ValueError(f"need 0 <= max_hamming < bands (got r={max_hamming}, bands={bands})")
     if 64 % bands != 0:
@@ -416,7 +519,6 @@ def simhash_hamming_pairs(
     block_bits = 64 // bands
     mask = F.lit((1 << block_bits) - 1) if block_bits < 64 else F.lit(-1)
 
-    sh = _simhash_df(docs, id_col, text_col)
     blocks_arr = F.array(
         *[
             F.struct(

@@ -395,22 +395,41 @@ def knn_join(
         topk = cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
         if round_i == max_rounds - 1:
             # last round: everyone resolves with whatever was found — no per-query
-            # count pass, no isEmpty action (two fewer jobs than the naive loop)
+            # count pass, no extra driver action
             results = topk if results is None else results.unionByName(topk)
             break
+        # lineage cut: topk is referenced by the resolve agg, the result batch,
+        # the carry, AND the caller's final action — localCheckpoint materializes
+        # it ONCE (at the stats job below) so none of them re-runs the round's
+        # join+window, and the plan does not grow round-over-round
+        topk = topk.localCheckpoint(eager=False)
         # resolved: k found and kth distance STRICTLY within the guaranteed radius —
         # an unseen point outside the ring is at Euclid ≥ radius·cell_size, so a
         # tie at exactly that distance could still lose to an unseen point under
         # the (distance, x, y) tie-break; strict < forces one more ring instead
         guaranteed = radius * cell_size
         per_q = topk.groupBy("_qid").agg(F.count("*").alias("n"), F.max("distance").alias("dk"))
-        resolved_ids = per_q.filter((F.col("n") >= k) & (F.col("dk") < guaranteed)).select("_qid")
+        resolved_pred = (F.col("n") >= k) & (F.col("dk") < guaranteed)
+        # ONE driver action per round: the resolve aggregate also answers "does
+        # any unresolved query remain" (queries with no candidates at all land
+        # on the NULL side of the left join and count as unresolved) — the
+        # emptiness check rides the job the loop already needs, instead of a
+        # separate isEmpty() action re-running the round's lineage
+        stats = (
+            remaining.join(per_q, "_qid", "left")
+            .agg(
+                F.count("*").alias("total"),
+                F.sum(F.when(resolved_pred, 1).otherwise(0)).alias("resolved"),
+            )
+            .collect()[0]
+        )
+        resolved_ids = per_q.filter(resolved_pred).select("_qid")
         batch = topk.join(resolved_ids, "_qid", "left_semi")
         results = batch if results is None else results.unionByName(batch)
+        if (stats["resolved"] or 0) >= stats["total"]:
+            break
         remaining = remaining.join(resolved_ids, "_qid", "left_anti")
         carry = topk.join(resolved_ids, "_qid", "left_anti").drop("rank")
-        if remaining.isEmpty():
-            break
         prev_radius = radius
         radius *= 3
     return results.withColumnRenamed("_qid", query_id).withColumnRenamed("_qx", qx + "_q").withColumnRenamed(

@@ -191,6 +191,34 @@ class TestKnn:
         full = {(a, b) for a in range(-9, 10) for b in range(-9, 10)}
         assert union == full
 
+    def test_knn_one_driver_action_per_round(self, spark, monkeypatch):
+        # VERDICT r3 item 4: the per-round emptiness check must ride the resolve
+        # aggregate's job — exactly ONE driver action (collect) per non-final
+        # round, and no isEmpty() action at all
+        # patch the CONCRETE class (Spark 4: pyspark.sql.classic overrides the
+        # public facade's methods, so patching pyspark.sql.DataFrame is a no-op)
+        from pyspark.sql.classic.dataframe import DataFrame
+
+        calls = {"collect": 0}
+        orig_collect = DataFrame.collect
+
+        def counting_collect(self):
+            calls["collect"] += 1
+            return orig_collect(self)
+
+        def forbidden_isempty(self):
+            raise AssertionError("knn_join must not run a per-round isEmpty action")
+
+        monkeypatch.setattr(DataFrame, "collect", counting_collect)
+        monkeypatch.setattr(DataFrame, "isEmpty", forbidden_isempty)
+        pts = spark.createDataFrame([(0.0, 0.0), (1.0, 0.0)], "x double, y double")
+        qs = spark.createDataFrame([(1, 50.0, 50.0)], "query_id int, x double, y double")
+        out = knn_join(pts, qs, 1, cell_size=1.0, max_rounds=6)
+        # query at ~dist 70 resolves at radius 81 = 5th round → 5 resolve aggs
+        assert calls["collect"] == 5
+        monkeypatch.setattr(DataFrame, "collect", orig_collect)
+        assert out.collect()[0]["x_nn"] == 1.0
+
     def test_knn_multi_round_matches_brute_force(self, spark):
         # queries spread so some resolve in round 1 and some need expansion;
         # shell probing + carried candidates must equal the brute-force answer

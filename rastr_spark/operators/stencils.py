@@ -357,55 +357,7 @@ def extrapolate(rf: RasterFrame, method: str = "nearest") -> RasterFrame:
     if method not in ("nearest",):
         raise NotImplementedError(f"Unsupported extrapolation method: {method}")
     meta = rf.meta
-
-    def make_kernel(h):
-        def kern(padded, valid, info):
-            r0, c0, th, tw, h_ = info
-            core = padded[h_ : h_ + th, h_ : h_ + tw]
-            out = core.copy()
-            nan_mask = np.isnan(core)
-            if not nan_mask.any() or np.isnan(padded).all():
-                return out
-            # offsets sorted by (d², dy, dx): first non-NaN donor in this order IS
-            # the min-distance donor with lowest-(row,col) tie-break — because for
-            # tied d², smaller dy ⇒ smaller donor row (dy = donor_row - cell_row),
-            # then smaller dx ⇒ smaller donor col. Only offsets with d ≤ h qualify
-            # (a donor outside the window is at Chebyshev > h ⇒ Euclid > h, so a
-            # hit within h is globally optimal and every tied donor is in-window).
-            if h_ <= 32:
-                # small radius: offset-ordered sweep, fully vectorized per offset
-                offs = [
-                    (dy * dy + dx * dx, dy, dx)
-                    for dy in range(-h_, h_ + 1)
-                    for dx in range(-h_, h_ + 1)
-                    if 0 < dy * dy + dx * dx <= h_ * h_
-                ]
-                offs.sort()
-                pend = nan_mask.copy()
-                for _, dy, dx in offs:
-                    if not pend.any():
-                        break
-                    cand = padded[h_ + dy : h_ + dy + th, h_ + dx : h_ + dx + tw]
-                    take = pend & ~np.isnan(cand)
-                    out[take] = cand[take]
-                    pend &= ~take
-                return out
-            # large radius (sparse data): per-NaN-cell vectorized donor scan with
-            # the same (distance, row, col) ordering
-            donor_r, donor_c = np.nonzero(~np.isnan(padded))
-            dvals = padded[donor_r, donor_c]
-            nan_r, nan_c = np.nonzero(nan_mask)
-            for i in range(len(nan_r)):
-                pr, pc = nan_r[i] + h_, nan_c[i] + h_
-                d2 = (donor_r - pr) ** 2 + (donor_c - pc) ** 2
-                best = d2.min()
-                if best <= h_ * h_:
-                    cand = np.nonzero(d2 == best)[0]
-                    order = np.lexsort((donor_c[cand], donor_r[cand]))
-                    out[nan_r[i], nan_c[i]] = dvals[cand[order[0]]]
-            return out
-
-        return kern
+    make_kernel = _nn_fill_kernel
 
     from .aggregates import rf_stats
 
@@ -438,6 +390,90 @@ def extrapolate(rf: RasterFrame, method: str = "nearest") -> RasterFrame:
             break
         h = min(h * 2, max_h)
     return out
+
+
+def _nn_fill_kernel(h):
+    """Per-tile nearest-donor fill kernel with proof radius ``h`` (module level
+    so the two code paths — offset sweep for h ≤ 32, two-pass column scan for
+    larger radii — are directly testable against each other; semantics in
+    :func:`extrapolate`)."""
+
+    def kern(padded, valid, info):
+        r0, c0, th, tw, h_ = info
+        core = padded[h_ : h_ + th, h_ : h_ + tw]
+        out = core.copy()
+        nan_mask = np.isnan(core)
+        if not nan_mask.any() or np.isnan(padded).all():
+            return out
+        # offsets sorted by (d², dy, dx): first non-NaN donor in this order IS
+        # the min-distance donor with lowest-(row,col) tie-break — because for
+        # tied d², smaller dy ⇒ smaller donor row (dy = donor_row - cell_row),
+        # then smaller dx ⇒ smaller donor col. Only offsets with d ≤ h qualify
+        # (a donor outside the window is at Chebyshev > h ⇒ Euclid > h, so a
+        # hit within h is globally optimal and every tied donor is in-window).
+        if h_ <= 32:
+            # small radius: offset-ordered sweep, fully vectorized per offset
+            offs = [
+                (dy * dy + dx * dx, dy, dx)
+                for dy in range(-h_, h_ + 1)
+                for dx in range(-h_, h_ + 1)
+                if 0 < dy * dy + dx * dx <= h_ * h_
+            ]
+            offs.sort()
+            pend = nan_mask.copy()
+            for _, dy, dx in offs:
+                if not pend.any():
+                    break
+                cand = padded[h_ + dy : h_ + dy + th, h_ + dx : h_ + dx + tw]
+                take = pend & ~np.isnan(cand)
+                out[take] = cand[take]
+                pend &= ~take
+            return out
+        # large radius (sparse data): exact two-pass nearest-donor search.
+        # Pass 1 — per COLUMN, the nearest donor row (two vectorized accumulate
+        # scans; tie |Δrow| above/below → the smaller row). Pass 2 — per output
+        # row, a vectorized lexicographic argmin over all padded columns: min
+        # total d², ties by (donor row, donor col) — exactly the reference's
+        # ordering. A donor that is not the nearest within its own column can
+        # never tie the global optimum (its column's nearest has strictly
+        # smaller total), so pass 1 loses nothing. O(core_cells × padded_width)
+        # numpy work instead of a Python loop per NaN cell with a full
+        # donor-array distance scan each iteration (VERDICT r3 item 3).
+        mask = ~np.isnan(padded)
+        P_r, P_c = padded.shape
+        ri = np.arange(P_r, dtype=np.int64)[:, None]
+        LARGE = P_r + P_c + 10  # > any real distance; empty columns never win
+        up = np.maximum.accumulate(np.where(mask, ri, -LARGE), axis=0)
+        down = np.minimum.accumulate(np.where(mask, ri, 3 * LARGE)[::-1], axis=0)[::-1]
+        d_up = ri - up
+        d_down = down - ri
+        nr = np.where(d_up <= d_down, up, down)  # tie → smaller donor row
+        dr = np.minimum(d_up, d_down)
+        dr2 = dr * dr  # ≥ LARGE² > h² wherever the column has no donor
+        cols = np.arange(P_c, dtype=np.int64)
+        h2 = h_ * h_
+        sentinel = np.iinfo(np.int64).max
+        for i in range(th):
+            row_nan = nan_mask[i]
+            if not row_nan.any():
+                continue
+            r = i + h_
+            cc = (np.nonzero(row_nan)[0] + h_)[:, None]
+            dc = cc - cols[None, :]
+            tot = dr2[r][None, :] + dc * dc
+            best = tot.min(axis=1)
+            sel = best <= h2
+            if not sel.any():
+                continue
+            tie_key = np.where(
+                tot == best[:, None], nr[r][None, :] * P_c + cols[None, :], sentinel
+            )
+            j = tie_key.argmin(axis=1)[sel]
+            fill_cols = np.nonzero(row_nan)[0][sel]
+            out[i, fill_cols] = padded[nr[r, j], j]
+        return out
+
+    return kern
 
 
 # -- attach ------------------------------------------------------------------

@@ -342,3 +342,84 @@ class TestReferenceGoldensExact:
         out = make_rf(spark, arr, tile_size=2, dtype=np.float16).extrapolate()
         assert out.meta.dtype == "float16"
         assert out.to_numpy().dtype == np.float16
+
+
+class TestNNFillKernelLargeRadius:
+    """The h > 32 path: exact two-pass column-scan nearest-donor search must
+    match the brute-force (distance, row, col) reference — including ties —
+    and beat the old per-NaN-cell Python loop by ≥5× on a half-NaN tile
+    (VERDICT r3 item 3)."""
+
+    @staticmethod
+    def _brute(padded, th, tw, h):
+        core = padded[h : h + th, h : h + tw]
+        out = core.copy()
+        dr_, dc_ = np.nonzero(~np.isnan(padded))
+        if len(dr_) == 0:
+            return out
+        vals = padded[dr_, dc_]
+        for r, c in zip(*np.nonzero(np.isnan(core))):
+            d2 = (dr_ - (r + h)) ** 2 + (dc_ - (c + h)) ** 2
+            best = d2.min()
+            if best <= h * h:
+                cand = np.nonzero(d2 == best)[0]
+                order = np.lexsort((dc_[cand], dr_[cand]))
+                out[r, c] = vals[cand[order[0]]]
+        return out
+
+    def test_matches_brute_force_with_ties(self):
+        from rastr_spark.operators.stencils import _nn_fill_kernel
+
+        rng = np.random.default_rng(7)
+        for _ in range(15):
+            th = tw = int(rng.integers(4, 16))
+            h = int(rng.integers(33, 56))
+            padded = np.full((th + 2 * h, tw + 2 * h), np.nan)
+            nd = int(rng.integers(1, 20))
+            rr = rng.integers(0, th + 2 * h, nd)
+            cc = rng.integers(0, tw + 2 * h, nd)
+            # integer donor coords at random spots → plenty of exact d² ties
+            padded[rr, cc] = rng.integers(0, 5, nd).astype(float)
+            got = _nn_fill_kernel(h)(padded.copy(), None, (0, 0, th, tw, h))
+            want = self._brute(padded.copy(), th, tw, h)
+            np.testing.assert_array_equal(got, want)
+
+    def test_half_nan_256_tile_at_least_5x_faster_than_loop(self):
+        import time
+
+        from rastr_spark.operators.stencils import _nn_fill_kernel
+
+        rng = np.random.default_rng(3)
+        th = tw = 256
+        h = 40
+        padded = np.full((th + 2 * h, tw + 2 * h), np.nan)
+        core_vals = rng.random((th, tw))
+        hole = rng.random((th, tw)) < 0.5  # ~50% NaN core
+        core_vals[hole] = np.nan
+        padded[h : h + th, h : h + tw] = core_vals
+
+        def old_loop(padded, th, tw, h_):
+            core = padded[h_ : h_ + th, h_ : h_ + tw]
+            out = core.copy()
+            nan_mask = np.isnan(core)
+            donor_r, donor_c = np.nonzero(~np.isnan(padded))
+            dvals = padded[donor_r, donor_c]
+            nan_r, nan_c = np.nonzero(nan_mask)
+            for i in range(len(nan_r)):
+                pr, pc = nan_r[i] + h_, nan_c[i] + h_
+                d2 = (donor_r - pr) ** 2 + (donor_c - pc) ** 2
+                best = d2.min()
+                if best <= h_ * h_:
+                    cand = np.nonzero(d2 == best)[0]
+                    order = np.lexsort((donor_c[cand], donor_r[cand]))
+                    out[nan_r[i], nan_c[i]] = dvals[cand[order[0]]]
+            return out
+
+        t0 = time.perf_counter()
+        want = old_loop(padded.copy(), th, tw, h)
+        t_loop = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        got = _nn_fill_kernel(h)(padded.copy(), None, (0, 0, th, tw, h))
+        t_scan = time.perf_counter() - t0
+        np.testing.assert_array_equal(got, want)
+        assert t_scan * 5 <= t_loop, f"scan {t_scan:.3f}s vs loop {t_loop:.3f}s"

@@ -1440,6 +1440,26 @@ def _q_multimodal_features(spark, sf_dir):
     )
 
 
+def _q_media_neardup(spark, sf_dir):
+    """Document-level media dedup COMPOSITION (pipeline-level evidence for the
+    multimodal family): synthesized media table with planted duplicate payloads
+    → image_features (mapInPandas Arrow decode, stub codec honestly faked) →
+    embedding_near_dups (SRP-bucketed cosine) over the feature vectors. The
+    fake decoder is a pure function of the payload, so payload duplicates MUST
+    surface as cosine-1 near-dup pairs. Rows-only (stub codec blocks a SQL
+    twin); determinism: seeded media synthesis + deterministic features."""
+    media = synthesize_media(spark, 300).filter(F.col("kind") == "image")
+    dups = media.filter(F.col("media_id").isin([f"m-{3 * i}" for i in range(20)])).select(
+        F.concat(F.lit("dup-"), "media_id").alias("media_id"), "kind", "payload", "meta"
+    )
+    feats = image_features(media.unionByName(dups), grid=4, fake_decode=True)
+    pairs = S.embedding_near_dups(
+        feats.select("media_id", F.transform("feature", lambda x: x.cast("double")).alias("feature")),
+        threshold=0.999, dim=16, n_planes=6, vec_id="media_id", vec_col="feature",
+    )
+    return pairs.select("id_a", "id_b", F.round("score", 6).alias("score"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "raster_stats": _q_raster_stats,
@@ -1486,6 +1506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_hamming": _q_simhash_hamming,
         # rows-only (no SQL-expressible oracle — stub codec):
         "multimodal_image_features": _q_multimodal_features,
+        "multimodal_media_neardup": _q_media_neardup,
         "raster_contour_summary": _q_contour,
         # oracle-verified: fixed Delaunay embedded as VALUES, barycentric in SQL
         "raster_point_cloud_interp": _q_point_cloud,

@@ -101,3 +101,31 @@ class CheckpointManager:
         _, manifest_path = self._paths(name)
         if manifest_path.exists():
             manifest_path.unlink()
+
+    # -- job telemetry ------------------------------------------------------
+    # North rule: stages checkpoint per-partition lineage AND metrics. The
+    # iterative operator (connected_components) additionally emits per-round
+    # convergence telemetry; recording it here lets a 100 TB run's clustering
+    # progress be monitored mid-job and post-mortem'd from the same store the
+    # stage manifests live in (swap the parquet append for an Iceberg
+    # `writeTo(...).append()` unchanged).
+
+    _METRICS_SCHEMA = "stage string, round int, changed long, wall_sec double, recorded_at double"
+
+    def record_round_metrics(
+        self, spark: SparkSession, stage: str, rounds: list[dict]
+    ) -> None:
+        """Append per-round telemetry rows ({'round', 'changed', 'wall_sec'} —
+        the shape connected_components emits via its ``metrics`` arg) under
+        this manager's metrics table."""
+        now = time.time()
+        rows = [
+            (stage, int(r["round"]), int(r["changed"]), float(r["wall_sec"]), now)
+            for r in rounds
+        ]
+        spark.createDataFrame(rows, self._METRICS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(self.root / "_round_metrics"))
+
+    def read_round_metrics(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(str(self.root / "_round_metrics"))

@@ -63,6 +63,28 @@ class TestCheckpoint:
         assert r.metrics["n_partitions"] >= 1
         assert all("partition_id" in p and "rows" in p for p in r.metrics["partitions"])
 
+    def test_cc_round_telemetry_lands_in_metrics_table(self, spark, tmp_path):
+        # connected_components emits (round, changed, wall) per label round; a
+        # long-running clustering job records them to the checkpoint store so
+        # convergence is observable mid-run (VERDICT r3 item 8)
+        from rastr_spark.functions.dedup import connected_components
+
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(50)], "id_a long, id_b long"
+        )
+        rounds: list[dict] = []
+        comp = connected_components(edges, max_iters=25, metrics=rounds)
+        assert comp.count() == 51
+        assert rounds and rounds[-1]["changed"] == 0  # fixpoint recorded
+        assert all({"round", "changed", "wall_sec"} <= set(r) for r in rounds)
+        cm = CheckpointManager(tmp_path / "ckpt")
+        cm.record_round_metrics(spark, "cc_fuzzy", rounds)
+        back = cm.read_round_metrics(spark)
+        rows = back.orderBy("round").collect()
+        assert len(rows) == len(rounds)
+        assert rows[0]["stage"] == "cc_fuzzy"
+        assert [r["changed"] for r in rows] == [r["changed"] for r in rounds]
+
 
 class TestRasterIO:
     def test_parquet_roundtrip(self, spark, tmp_path, base_raster):

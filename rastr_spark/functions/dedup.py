@@ -647,6 +647,44 @@ def connected_components(
     )
 
 
+def verified_near_dup_edges(
+    reps: DataFrame,
+    *,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_family: str = "xxhash64",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Verified near-dup edges (id_a, id_b): MinHash-LSH candidates → exact
+    word-n-gram Jaccard per pair, computed JVM-side with ``array_intersect``
+    over the two docs' (distinct) gram arrays — no extra gram explode/shuffle
+    (candidate count ≪ corpus²). The candidate/verify stage shared by
+    :func:`fuzzy_dedup_assign` and the checkpoint-fenced plan."""
+    cands = minhash_candidate_pairs(
+        reps, n=n, num_hashes=num_hashes, bands=bands,
+        id_col=id_col, text_col=text_col, hash_family=hash_family,
+        max_bucket_size=max_bucket_size,
+    )
+    grams = reps.select(
+        F.col(id_col).alias("_gid"), word_ngrams(F.col(text_col), n).alias("_grams")
+    )
+    pairs = (
+        cands.join(grams.select(F.col("_gid").alias("id_a"), F.col("_grams").alias("_ga")), "id_a")
+        .join(grams.select(F.col("_gid").alias("id_b"), F.col("_grams").alias("_gb")), "id_b")
+    )
+    inter = F.size(F.array_intersect("_ga", "_gb"))
+    union = F.size("_ga") + F.size("_gb") - inter
+    return (
+        pairs.withColumn("_j", inter.cast("double") / union.cast("double"))
+        .filter(F.col("_j") >= threshold)
+        .select("id_a", "id_b")
+    )
+
+
 def fuzzy_dedup_assign(
     docs: DataFrame,
     *,
@@ -705,24 +743,10 @@ def fuzzy_dedup_assign(
         keyed.join(rep_ids.withColumnRenamed("_rep", id_col), keys + [id_col], "left_semi")
         .select(id_col, text_col)
     )
-    cands = minhash_candidate_pairs(
-        reps, n=n, num_hashes=num_hashes, bands=bands,
+    edges = verified_near_dup_edges(
+        reps, n=n, num_hashes=num_hashes, bands=bands, threshold=threshold,
         id_col=id_col, text_col=text_col, hash_family=hash_family,
         max_bucket_size=max_bucket_size,
-    )
-    grams = reps.select(
-        F.col(id_col).alias("_gid"), word_ngrams(F.col(text_col), n).alias("_grams")
-    )
-    pairs = (
-        cands.join(grams.select(F.col("_gid").alias("id_a"), F.col("_grams").alias("_ga")), "id_a")
-        .join(grams.select(F.col("_gid").alias("id_b"), F.col("_grams").alias("_gb")), "id_b")
-    )
-    inter = F.size(F.array_intersect("_ga", "_gb"))
-    union = F.size("_ga") + F.size("_gb") - inter
-    edges = (
-        pairs.withColumn("_j", inter.cast("double") / union.cast("double"))
-        .filter(F.col("_j") >= threshold)
-        .select("id_a", "id_b")
     )
     # comp is an eager localCheckpoint (see connected_components): its storage
     # is GC-bounded by the result's lifetime, never a session-lifetime cache

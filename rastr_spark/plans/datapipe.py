@@ -11,14 +11,15 @@ lazy Catalyst plans; the fuzzy-dedup stage's connected-components loop is
 EAGER (it runs a few small Spark jobs at ``curate_corpus`` call time to reach
 the label fixpoint — see connected_components), with the resulting component
 table held in a GC-bounded localCheckpoint. Total cost is a handful of
-shuffles regardless of corpus size: one groupBy(text) for the exact pass, the
-LSH banding joins for the fuzzy pass, and one final join back to the
-annotations.
+shuffles regardless of corpus size: one fingerprint-keyed groupBy for the
+exact pass (128-bit content fingerprints, never document bytes, as shuffle
+keys — see functions/dedup.py), the LSH banding joins for the fuzzy pass, and
+one final join back to the annotations.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.dedup import fuzzy_dedup_assign
@@ -38,6 +39,7 @@ def curate_corpus(
     text_col: str = "text",
     hash_family: str = "xxhash64",
     max_bucket_size: int | None = None,
+    cc_metrics: list | None = None,
 ) -> DataFrame:
     """Per-doc curation decision table.
 
@@ -66,6 +68,7 @@ def curate_corpus(
         passing, n=n, num_hashes=num_hashes, bands=bands,
         threshold=jaccard_threshold, id_col=id_col, text_col=text_col,
         hash_family=hash_family, max_bucket_size=max_bucket_size,
+        cc_metrics=cc_metrics,
     )
     out = annotated.join(assign, id_col, "left")
     return out.select(
@@ -80,3 +83,93 @@ def curate_corpus(
             & (F.col("canonical_id") == F.col(id_col))
         ).alias("keep"),
     )
+
+
+def fuzzy_dedup_checkpointed(
+    spark: SparkSession,
+    docs: DataFrame,
+    *,
+    ckpt_dir: str,
+    input_fingerprint: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_family: str = "xxhash64",
+    max_bucket_size: int | None = None,
+    max_iters: int = 25,
+):
+    """Fuzzy dedup with per-stage checkpoint fences (north rule: "resumable
+    mid-join" applied to the flagship DATA pipeline, as flagship_checkpointed
+    applies it to the spatial one).
+
+    Four fenced stages, each a manifest-committed parquet table with
+    per-partition lineage/metrics (sources.checkpoint):
+
+      1. ``dedup_reps``        — fingerprint-keyed exact collapse: one min-id
+                                 representative row per distinct text, carrying
+                                 the fingerprint columns (= the rep mapping)
+      2. ``dedup_edges``       — LSH candidates + exact Jaccard verify
+      3. ``dedup_components``  — connected components over the edges; the
+                                 per-round (round, changed, wall) telemetry is
+                                 recorded to the manager's round-metrics table,
+                                 so a 100 TB clustering job is observable
+                                 mid-run and post-mortem
+      4. ``dedup_assign``      — (doc_id, canonical_id) for every input doc
+
+    A failure between stages resumes from the last COMMITTED manifest — e.g. a
+    crash during clustering re-runs CC from the checkpointed edge table without
+    re-shingling the corpus. Returns (assignment DataFrame, [StageResult × 4]).
+    """
+    from ..functions.dedup import (
+        _FP_NAMES,
+        _fp_cols,
+        connected_components,
+        verified_near_dup_edges,
+    )
+    from ..sources.checkpoint import CheckpointManager
+
+    cm = CheckpointManager(ckpt_dir)
+    keyed = docs.select(id_col, text_col).select("*", *_fp_cols(text_col))
+    fp_names = list(_FP_NAMES)
+
+    reps_stage = cm.run_stage(
+        spark,
+        "dedup_reps",
+        input_fingerprint,
+        lambda: keyed.join(
+            keyed.groupBy(*fp_names).agg(F.min(id_col).alias(id_col)),
+            fp_names + [id_col],
+            "left_semi",
+        ),
+    )
+    edges_stage = cm.run_stage(
+        spark,
+        "dedup_edges",
+        input_fingerprint,
+        lambda: verified_near_dup_edges(
+            reps_stage.df, n=n, num_hashes=num_hashes, bands=bands,
+            threshold=threshold, id_col=id_col, text_col=text_col,
+            hash_family=hash_family, max_bucket_size=max_bucket_size,
+        ),
+    )
+
+    def build_components() -> DataFrame:
+        rounds: list[dict] = []
+        comp = connected_components(edges_stage.df, max_iters=max_iters, metrics=rounds)
+        cm.record_round_metrics(spark, "dedup_components", rounds)
+        return comp
+
+    comp_stage = cm.run_stage(spark, "dedup_components", input_fingerprint, build_components)
+
+    def build_assign() -> DataFrame:
+        rep_ids = reps_stage.df.select(*fp_names, F.col(id_col).alias("_rep"))
+        rep_of = keyed.select(id_col, *fp_names).join(rep_ids, fp_names)
+        return rep_of.join(
+            comp_stage.df.withColumnRenamed("node", "_rep"), "_rep", "left"
+        ).select(id_col, F.coalesce("comp", F.col("_rep")).alias("canonical_id"))
+
+    assign_stage = cm.run_stage(spark, "dedup_assign", input_fingerprint, build_assign)
+    return assign_stage.df, [reps_stage, edges_stage, comp_stage, assign_stage]

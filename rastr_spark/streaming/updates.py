@@ -163,18 +163,16 @@ def streaming_dedup_exact(
     requires simultaneous collision of both hashes within the watermark
     horizon: P ≈ pairs·2⁻¹²⁸, negligible at any stream rate.
     """
+    # the SAME fingerprint columns batch dedup_exact / fuzzy_dedup_assign key
+    # their shuffles on (functions/dedup.py: seed literal first for hash
+    # independence) — one definition serves the batch and streaming paths
+    from ..functions.dedup import _FP_NAMES, _fp_cols
+
     return (
-        docs.withColumn("_fp", F.xxhash64(F.col(text_col)))
-        # seed literal FIRST: Spark's XxHash64 folds arguments left-to-right
-        # with the running hash as seed, so hashing (text, lit) would make _fp2
-        # a pure function of _fp (an _fp collision would imply an _fp2
-        # collision); (lit, text) hashes the text under a genuinely
-        # independent seed
-        .withColumn("_fp2", F.xxhash64(F.lit(0x5EED), F.col(text_col)))
-        .withColumn("_ln", F.length(F.col(text_col)))
+        docs.select("*", *_fp_cols(text_col))
         .withWatermark(ts_col, watermark)
-        .dropDuplicatesWithinWatermark(["_fp", "_fp2", "_ln"])
-        .drop("_fp", "_fp2", "_ln")
+        .dropDuplicatesWithinWatermark(list(_FP_NAMES))
+        .drop(*_FP_NAMES)
     )
 
 

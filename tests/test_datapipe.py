@@ -49,3 +49,66 @@ class TestCurateCorpus:
             out.filter("keep").agg(F.sum("bpe_tokens").alias("b")).collect()[0]["b"]
         )
         assert budget > 0
+
+
+class TestCheckpointedFuzzyDedup:
+    def _docs(self, spark):
+        rows = [(i, f"unique document body number {i} with several distinct words") for i in range(30)]
+        rows += [(100 + i, f"unique document body number {i} with several distinct words") for i in range(10)]  # exact dups
+        rows += [(200 + i, f"unique document body number {i} with several distinct words extra") for i in range(5)]  # near dups
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_matches_one_shot_and_resumes(self, spark, tmp_path):
+        from rastr_spark.functions.dedup import fuzzy_dedup_assign
+        from rastr_spark.plans.datapipe import fuzzy_dedup_checkpointed
+        from rastr_spark.sources.checkpoint import CheckpointManager
+
+        docs = self._docs(spark)
+        out, stages = fuzzy_dedup_checkpointed(
+            spark, docs, ckpt_dir=str(tmp_path / "ck"), input_fingerprint="fp-1",
+            n=2, num_hashes=8, bands=4, threshold=0.5,
+        )
+        got = {r["doc_id"]: r["canonical_id"] for r in out.collect()}
+        want = {
+            r["doc_id"]: r["canonical_id"]
+            for r in fuzzy_dedup_assign(
+                docs, n=2, num_hashes=8, bands=4, threshold=0.5
+            ).collect()
+        }
+        assert got == want
+        assert all(not s.resumed for s in stages)
+        # CC round telemetry landed in the manager's metrics table
+        cm = CheckpointManager(tmp_path / "ck")
+        mets = cm.read_round_metrics(spark).collect()
+        assert mets and all(m["stage"] == "dedup_components" for m in mets)
+        # second run with the same fingerprint: every stage resumes from its
+        # committed manifest, result identical
+        out2, stages2 = fuzzy_dedup_checkpointed(
+            spark, docs, ckpt_dir=str(tmp_path / "ck"), input_fingerprint="fp-1",
+            n=2, num_hashes=8, bands=4, threshold=0.5,
+        )
+        assert all(s.resumed for s in stages2)
+        assert {r["doc_id"]: r["canonical_id"] for r in out2.collect()} == want
+
+    def test_crash_mid_pipeline_resumes_committed_stages(self, spark, tmp_path):
+        from rastr_spark.plans.datapipe import fuzzy_dedup_checkpointed
+        from rastr_spark.sources.checkpoint import CheckpointManager
+
+        docs = self._docs(spark)
+        fuzzy_dedup_checkpointed(
+            spark, docs, ckpt_dir=str(tmp_path / "ck"), input_fingerprint="fp-1",
+            n=2, num_hashes=8, bands=4, threshold=0.5,
+        )
+        # simulate a crash after stage 2: downstream manifests gone
+        cm = CheckpointManager(tmp_path / "ck")
+        cm.invalidate("dedup_components")
+        cm.invalidate("dedup_assign")
+        out, stages = fuzzy_dedup_checkpointed(
+            spark, docs, ckpt_dir=str(tmp_path / "ck"), input_fingerprint="fp-1",
+            n=2, num_hashes=8, bands=4, threshold=0.5,
+        )
+        by_name = {s.name: s for s in stages}
+        assert by_name["dedup_reps"].resumed and by_name["dedup_edges"].resumed
+        assert not by_name["dedup_components"].resumed
+        assert not by_name["dedup_assign"].resumed
+        assert out.count() == 45

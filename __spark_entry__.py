@@ -52,6 +52,13 @@ _ORACLE_ART_DIR = _os.path.join(
     _tempfile.gettempdir(), f"rastr_spark_oracle_{_os.getpid()}"
 )
 
+# the per-PID suffix means no later run overwrites these — without cleanup every
+# harness invocation would permanently leak its parquet artifacts into /tmp
+import atexit as _atexit
+import shutil as _shutil
+
+_atexit.register(lambda: _shutil.rmtree(_ORACLE_ART_DIR, ignore_errors=True))
+
 GRID = 64
 CELL = 8.0
 WORLD = GRID * CELL  # 512.0
@@ -387,7 +394,11 @@ _JACCARD_MAX_DF = 50  # hot-gram cap, mirrored exactly in the oracle SQL below
 def _q_ngram_jaccard(spark, sf_dir):
     d = _read(spark, sf_dir, "documents")
     out = D.ngram_jaccard_pairs(d, n=3, threshold=0.5, max_doc_freq=_JACCARD_MAX_DF)
-    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    # raw IEEE division, NOT rounded: inter/union are exact integers in doubles,
+    # so the division is bit-identical across engines — round(.,6) would
+    # introduce half-tie mismatches (Spark HALF_UP vs DuckDB half-even,
+    # e.g. 65/128 = 0.5078125)
+    return out.select("id_a", "id_b", "jaccard")
 
 
 _ORACLE_JACCARD = f"""
@@ -399,7 +410,7 @@ inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
   FROM grams a JOIN grams b USING (gram) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
 )
-SELECT id_a, id_b, round(i::double / (sa.n + sb.n - i), 6) AS jaccard
+SELECT id_a, id_b, i::double / (sa.n + sb.n - i) AS jaccard
 FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
 WHERE i::double / (sa.n + sb.n - i) >= 0.5
 """
@@ -424,7 +435,11 @@ def _q_ngram_jaccard_fast(spark, sf_dir):
     grams.write.mode("overwrite").parquet(path)
     g2 = spark.read.parquet(path)
     out = D.jaccard_pairs_from_grams(g2, threshold=0.5, max_doc_freq=_JACCARD_MAX_DF)
-    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    # raw IEEE division, NOT rounded: inter/union are exact integers in doubles,
+    # so the division is bit-identical across engines — round(.,6) would
+    # introduce half-tie mismatches (Spark HALF_UP vs DuckDB half-even,
+    # e.g. 65/128 = 0.5078125)
+    return out.select("id_a", "id_b", "jaccard")
 
 
 _ORACLE_JACCARD_FAST = f"""
@@ -436,7 +451,7 @@ inter AS (
   SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
   FROM g a JOIN g b USING (gram) WHERE a.id < b.id GROUP BY 1, 2
 )
-SELECT id_a, id_b, round(i::double / (sa.n + sb.n - i), 6) AS jaccard
+SELECT id_a, id_b, i::double / (sa.n + sb.n - i) AS jaccard
 FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
 WHERE i::double / (sa.n + sb.n - i) >= 0.5
   AND (SELECT count(DISTINCT id) FROM g0) = {_N_SHINGLED_DOCS_SQL}

@@ -647,6 +647,28 @@ def connected_components(
     )
 
 
+def exact_rep_table(keyed: DataFrame, keys: list[str], id_col: str) -> DataFrame:
+    """Exact-collapse stage shared by fuzzy_dedup_assign and the checkpointed
+    plan: the min-``id_col`` row per key group, carrying ALL of ``keyed``'s
+    columns (text for the LSH stage, the key columns for the rep mapping)."""
+    rep_ids = keyed.groupBy(*keys).agg(F.min(id_col).alias(id_col))
+    return keyed.join(rep_ids, list(keys) + [id_col], "left_semi")
+
+
+def assign_canonical(
+    keyed: DataFrame, keys: list[str], reps: DataFrame, comp: DataFrame, id_col: str
+) -> DataFrame:
+    """Assignment stage shared by fuzzy_dedup_assign and the checkpointed plan:
+    every doc maps key → representative → component minimum (singletons map to
+    their representative). Joins on the fixed-width key columns only — text is
+    projected out before the shuffle in fingerprint mode."""
+    rep_ids = reps.select(*keys, F.col(id_col).alias("_rep"))
+    rep_of = keyed.select(id_col, *keys).join(rep_ids, list(keys))
+    return rep_of.join(
+        comp.withColumnRenamed("node", "_rep"), "_rep", "left"
+    ).select(id_col, F.coalesce("comp", F.col("_rep")).alias("canonical_id"))
+
+
 def verified_near_dup_edges(
     reps: DataFrame,
     *,
@@ -737,25 +759,14 @@ def fuzzy_dedup_assign(
     per-round telemetry dicts (see :func:`connected_components`).
     """
     keyed, keys = _group_keys(docs.select(id_col, text_col), text_col, key)
-    rep_ids = keyed.groupBy(*keys).agg(F.min(id_col).alias("_rep"))
     # representatives WITH text (the LSH input): min-id row per distinct text
-    reps = (
-        keyed.join(rep_ids.withColumnRenamed("_rep", id_col), keys + [id_col], "left_semi")
-        .select(id_col, text_col)
-    )
+    reps = exact_rep_table(keyed, keys, id_col)
     edges = verified_near_dup_edges(
-        reps, n=n, num_hashes=num_hashes, bands=bands, threshold=threshold,
-        id_col=id_col, text_col=text_col, hash_family=hash_family,
-        max_bucket_size=max_bucket_size,
+        reps.select(id_col, text_col), n=n, num_hashes=num_hashes, bands=bands,
+        threshold=threshold, id_col=id_col, text_col=text_col,
+        hash_family=hash_family, max_bucket_size=max_bucket_size,
     )
     # comp is an eager localCheckpoint (see connected_components): its storage
     # is GC-bounded by the result's lifetime, never a session-lifetime cache
     comp = connected_components(edges, max_iters=max_iters, metrics=cc_metrics)
-    # doc → representative mapping joined on the fixed-width key columns only
-    # (text is projected OUT before the shuffle in fingerprint mode)
-    rep_of = keyed.select(id_col, *keys).join(rep_ids, keys)
-    return rep_of.join(
-        comp.withColumnRenamed("node", "_rep"), "_rep", "left"
-    ).select(
-        id_col, F.coalesce("comp", F.col("_rep")).alias("canonical_id")
-    )
+    return assign_canonical(keyed, keys, reps, comp, id_col)

@@ -122,11 +122,20 @@ def fuzzy_dedup_checkpointed(
     A failure between stages resumes from the last COMMITTED manifest — e.g. a
     crash during clustering re-runs CC from the checkpointed edge table without
     re-shingling the corpus. Returns (assignment DataFrame, [StageResult × 4]).
+
+    Stage identity = (stage name, input_fingerprint + ALL algorithm parameters):
+    re-running with a different threshold/banding/cap against the same
+    checkpoint dir recomputes instead of silently resuming the old-parameter
+    tables. The rep-collapse and assignment stages are the SAME helpers
+    fuzzy_dedup_assign uses (functions/dedup.py exact_rep_table /
+    assign_canonical) — the one-shot and fenced pipelines cannot drift.
     """
     from ..functions.dedup import (
         _FP_NAMES,
         _fp_cols,
+        assign_canonical,
         connected_components,
+        exact_rep_table,
         verified_near_dup_edges,
     )
     from ..sources.checkpoint import CheckpointManager
@@ -134,24 +143,24 @@ def fuzzy_dedup_checkpointed(
     cm = CheckpointManager(ckpt_dir)
     keyed = docs.select(id_col, text_col).select("*", *_fp_cols(text_col))
     fp_names = list(_FP_NAMES)
+    eff_fp = (
+        f"{input_fingerprint}|n={n}|nh={num_hashes}|b={bands}|t={threshold}"
+        f"|hf={hash_family}|cap={max_bucket_size}"
+    )
 
     reps_stage = cm.run_stage(
         spark,
         "dedup_reps",
-        input_fingerprint,
-        lambda: keyed.join(
-            keyed.groupBy(*fp_names).agg(F.min(id_col).alias(id_col)),
-            fp_names + [id_col],
-            "left_semi",
-        ),
+        eff_fp,
+        lambda: exact_rep_table(keyed, fp_names, id_col),
     )
     edges_stage = cm.run_stage(
         spark,
         "dedup_edges",
-        input_fingerprint,
+        eff_fp,
         lambda: verified_near_dup_edges(
-            reps_stage.df, n=n, num_hashes=num_hashes, bands=bands,
-            threshold=threshold, id_col=id_col, text_col=text_col,
+            reps_stage.df.select(id_col, text_col), n=n, num_hashes=num_hashes,
+            bands=bands, threshold=threshold, id_col=id_col, text_col=text_col,
             hash_family=hash_family, max_bucket_size=max_bucket_size,
         ),
     )
@@ -162,14 +171,11 @@ def fuzzy_dedup_checkpointed(
         cm.record_round_metrics(spark, "dedup_components", rounds)
         return comp
 
-    comp_stage = cm.run_stage(spark, "dedup_components", input_fingerprint, build_components)
-
-    def build_assign() -> DataFrame:
-        rep_ids = reps_stage.df.select(*fp_names, F.col(id_col).alias("_rep"))
-        rep_of = keyed.select(id_col, *fp_names).join(rep_ids, fp_names)
-        return rep_of.join(
-            comp_stage.df.withColumnRenamed("node", "_rep"), "_rep", "left"
-        ).select(id_col, F.coalesce("comp", F.col("_rep")).alias("canonical_id"))
-
-    assign_stage = cm.run_stage(spark, "dedup_assign", input_fingerprint, build_assign)
+    comp_stage = cm.run_stage(spark, "dedup_components", eff_fp, build_components)
+    assign_stage = cm.run_stage(
+        spark,
+        "dedup_assign",
+        eff_fp,
+        lambda: assign_canonical(keyed, fp_names, reps_stage.df, comp_stage.df, id_col),
+    )
     return assign_stage.df, [reps_stage, edges_stage, comp_stage, assign_stage]

@@ -163,16 +163,21 @@ def streaming_dedup_exact(
     requires simultaneous collision of both hashes within the watermark
     horizon: P ≈ pairs·2⁻¹²⁸, negligible at any stream rate.
     """
-    # the SAME fingerprint columns batch dedup_exact / fuzzy_dedup_assign key
-    # their shuffles on (functions/dedup.py: seed literal first for hash
-    # independence) — one definition serves the batch and streaming paths
-    from ..functions.dedup import _FP_NAMES, _fp_cols
+    # the SAME fingerprint definition batch dedup_exact / fuzzy_dedup_assign
+    # key their shuffles on (functions/dedup.py: _FP_SEED placed FIRST for
+    # hash independence). Column NAMES are kept at the original _fp/_fp2/_ln:
+    # they are this operator's state-store key schema, and renaming them would
+    # fail the schema-compatibility check on restart of any existing streaming
+    # query from its checkpoint (losing the bounded dedup state).
+    from ..functions.dedup import _FP_SEED
 
     return (
-        docs.select("*", *_fp_cols(text_col))
+        docs.withColumn("_fp", F.xxhash64(F.col(text_col)))
+        .withColumn("_fp2", F.xxhash64(F.lit(_FP_SEED), F.col(text_col)))
+        .withColumn("_ln", F.length(F.col(text_col)))
         .withWatermark(ts_col, watermark)
-        .dropDuplicatesWithinWatermark(list(_FP_NAMES))
-        .drop(*_FP_NAMES)
+        .dropDuplicatesWithinWatermark(["_fp", "_fp2", "_ln"])
+        .drop("_fp", "_fp2", "_ln")
     )
 
 

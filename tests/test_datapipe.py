@@ -112,3 +112,19 @@ class TestCheckpointedFuzzyDedup:
         assert not by_name["dedup_components"].resumed
         assert not by_name["dedup_assign"].resumed
         assert out.count() == 45
+
+    def test_parameter_change_recomputes_not_resumes(self, spark, tmp_path):
+        # stage identity folds the algorithm parameters: a different threshold
+        # against the same checkpoint dir must NOT silently reuse old tables
+        from rastr_spark.plans.datapipe import fuzzy_dedup_checkpointed
+
+        docs = self._docs(spark)
+        _, s1 = fuzzy_dedup_checkpointed(
+            spark, docs, ckpt_dir=str(tmp_path / "ck"), input_fingerprint="fp-1",
+            n=2, num_hashes=8, bands=4, threshold=0.5,
+        )
+        _, s2 = fuzzy_dedup_checkpointed(
+            spark, docs, ckpt_dir=str(tmp_path / "ck"), input_fingerprint="fp-1",
+            n=2, num_hashes=8, bands=4, threshold=0.9,
+        )
+        assert all(not s.resumed for s in s2)

@@ -619,13 +619,18 @@ def connected_components(
         jump = stepped.select(
             F.col("node").alias("comp"), F.col("comp").alias("_cc")
         )
+        # lazy checkpoint: the fixpoint-count job below materializes it, so a
+        # round costs ONE Spark job instead of two (checkpoint job + count job)
+        # while still truncating lineage — the eager variant's OOM protection
+        # (the jump self-join doubles the logical plan per round) is preserved
+        # because the plan is cut at materialization either way
         new_labels = (
             stepped.join(jump, "comp", "left")
             .select(
                 "node",
                 F.least(F.col("comp"), F.coalesce("_cc", F.col("comp"))).alias("comp"),
             )
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         # both sides of the fixpoint compare are checkpointed scans — cheap
         changed = (
             new_labels.alias("n")

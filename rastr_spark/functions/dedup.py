@@ -592,14 +592,20 @@ def connected_components(
     """
     import time as _time
 
+    # materialize the edge list ONCE before iterating: `edges` typically carries
+    # an expensive upstream lineage (LSH + Jaccard verify), and the loop scans
+    # it via nodes (2×) plus sym (2× per round) — without this checkpoint each
+    # round re-executes the post-shuffle tail of that pipeline. Measured on the
+    # 210k-doc bench corpus: ~10 s/round → sub-second rounds.
+    edges = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
+        eager=True
+    )
     nodes = (
-        edges.select(F.col(src).alias("node"))
-        .unionByName(edges.select(F.col(dst).alias("node")))
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
         .distinct()
     )
-    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
-        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
-    )
+    sym = edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     labels = nodes.withColumn("comp", F.col("node")).localCheckpoint(eager=True)
     for round_i in range(max_iters):
         t0 = _time.time()

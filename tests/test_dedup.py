@@ -306,3 +306,33 @@ class TestConnectedComponentsLongChain:
         )
         comp = D.connected_components(edges, max_iters=25).collect()
         assert all(r["comp"] == 0 for r in comp)
+
+
+class TestFingerprintTextKeyEquivalence:
+    def test_dedup_exact_modes_agree_on_random_corpora(self, spark):
+        # fingerprint grouping must partition docs exactly like text grouping
+        # (identical results unless a 128-bit collision occurs — none here)
+        import random
+
+        rng = random.Random(11)
+        vocab = [f"w{i}" for i in range(30)]
+        rows = []
+        for i in range(120):
+            text = " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 6)))
+            rows.append((i, text))  # short texts, many collisions-by-construction
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        fp = {(r["doc_id"], r["text"]) for r in D.dedup_exact(docs).collect()}
+        tx = {(r["doc_id"], r["text"]) for r in D.dedup_exact(docs, key="text").collect()}
+        assert fp == tx
+        gfp = {(r["canonical_id"], r["dup_count"]) for r in D.exact_duplicates(docs).collect()}
+        gtx = {(r["canonical_id"], r["dup_count"]) for r in D.exact_duplicates(docs, key="text").collect()}
+        assert gfp == gtx
+
+    def test_fuzzy_modes_agree(self, spark):
+        rows = [(i, f"body {i % 7} shared words here") for i in range(40)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        a = {(r["doc_id"], r["canonical_id"]) for r in D.fuzzy_dedup_assign(
+            docs, n=2, num_hashes=8, bands=4, threshold=0.5).collect()}
+        b = {(r["doc_id"], r["canonical_id"]) for r in D.fuzzy_dedup_assign(
+            docs, n=2, num_hashes=8, bands=4, threshold=0.5, key="text").collect()}
+        assert a == b

@@ -367,6 +367,11 @@ def candidate_pairs_from_buckets(
     """Distinct (id_a < id_b) pairs sharing ≥1 (band, bucket), with the
     degenerate-bucket cap applied before the self-join."""
     if max_bucket_size is not None:
+        # note: the cap pre-pass consumes the bucket table three ways (hot
+        # count, anti-joined left, self-join right); an eager localCheckpoint
+        # here was A/B-measured ~3 s SLOWER end-to-end on the 210k bench
+        # corpus — persisted shuffle files already cover the recompute across
+        # jobs, while the materialization barrier blocks pipelining
         hot = (
             b.groupBy("band", "bucket")
             .agg(F.count("*").alias("n"))

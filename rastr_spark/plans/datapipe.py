@@ -40,8 +40,18 @@ def curate_corpus(
     hash_family: str = "xxhash64",
     max_bucket_size: int | None = None,
     cc_metrics: list | None = None,
+    materialize_passing: bool = True,
 ) -> DataFrame:
     """Per-doc curation decision table.
+
+    ``materialize_passing`` (default on): localCheckpoint the quality/lang-passing
+    (id, text) subset before the fuzzy stage. The dedup pipeline scans its input
+    several times (reps, LSH, rep mapping); without the cut each scan re-executes
+    the annotation expressions (multiple tokenizations per doc). Interleaved A/B
+    on the 210k bench corpus: 16.8-20.6 s → 11.9-13.9 s. Storage cost is the
+    passing subset spilled MEMORY_AND_DISK on executors — the same order as the
+    pipeline's own shuffles; disable for corpora where re-reading the source scan
+    is cheaper than holding the filtered copy.
 
     Returns (doc_id, quality, lang, bpe_tokens, ws_tokens, canonical_id, keep):
 
@@ -64,6 +74,8 @@ def curate_corpus(
     passing = annotated.filter(
         (F.col("quality") >= min_quality) & (F.col("lang").isin(list(langs)))
     ).select(id_col, text_col)
+    if materialize_passing:
+        passing = passing.localCheckpoint(eager=True)
     assign = fuzzy_dedup_assign(
         passing, n=n, num_hashes=num_hashes, bands=bands,
         threshold=jaccard_threshold, id_col=id_col, text_col=text_col,

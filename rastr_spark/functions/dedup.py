@@ -130,6 +130,14 @@ def ngram_jaccard_pairs(
     if hash_grams:
         grams = grams.select("id", F.xxhash64("gram").alias("gram"))
     if max_doc_freq is not None:
+        # the capped path consumes the exploded gram table through THREE
+        # distinct plans (hot-gram count, the join's exchange, the sizes
+        # exchange) — unlike the uncapped self-join (identical sides →
+        # ReusedExchange), nothing upstream is shared, so the tokenize+explode
+        # would run ~3×. One eager materialization (the same rows the join
+        # shuffles anyway, disk-backed) cuts it: interleaved A/B at sf0.1,
+        # hash_grams=True: 8.4 s → 3.6 s.
+        grams = grams.localCheckpoint(eager=True)
         grams = _drop_hot_grams(grams, max_doc_freq)
         sizes = grams.groupBy("id").agg(F.count("*").alias("n_grams"))
     else:

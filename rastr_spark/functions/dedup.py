@@ -525,6 +525,12 @@ def simhash_hamming_pairs_from_table(
     """Banding + Hamming verification over a pre-built (id, simhash) table
     (e.g. a :func:`simhash_table` parquet artifact) — see
     :func:`simhash_hamming_pairs` for semantics."""
+    if max_bucket_size is not None:
+        # capped path = three distinct consumers of the simhash lineage (hot
+        # count, anti join, self join) with no shared exchange; the 64
+        # per-bit aggregates would re-run per consumer. 16 bytes/doc
+        # materialized; interleaved A/B at 105k docs: 7.4 → 5.6 s.
+        sh = sh.localCheckpoint(eager=True)
     if not 0 <= max_hamming < bands:
         raise ValueError(f"need 0 <= max_hamming < bands (got r={max_hamming}, bands={bands})")
     if 64 % bands != 0:

@@ -159,6 +159,11 @@ def embedding_near_dups(
         srp_bucket(F.col(vec_col), dim, n_planes=n_planes).alias("bucket"),
     )
     if max_bucket_size is not None:
+        # capped path = three distinct consumers of the SRP projection lineage
+        # (hot count, anti join, self join) with no shared exchange — same
+        # recompute-amplification cut as the capped Jaccard/SimHash paths
+        # (functions/dedup.py); interleaved A/B confirmed the win
+        v = v.localCheckpoint(eager=True)
         hot = (
             v.groupBy("bucket")
             .agg(F.count("*").alias("n"))

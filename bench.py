@@ -164,6 +164,18 @@ def main():
     all_walls["flagship_doc_zonal"] = walls
     docs_per_sec = n_docs / t_flagship
 
+    # -- stencil family at raster scale: 4096² = 16.8M cells, 4096 tiles --------
+    # the halo-exchange path measured on the big bench raster (the sf-table
+    # rasters are 64² — too small to evidence the strip-shuffle design). Blur
+    # runs the reference-faithful preserve_nan composition: NN-extrapolate
+    # pre-pass → separable gaussian (radius 8) → NaN-mask restore.
+    t_blur, walls = timed(lambda: rf.blur(2 * BENCH_CELL, preserve_nan=True).df.count())
+    results["raster_blur_16m_cells"] = round(t_blur, 3)
+    all_walls["raster_blur_16m_cells"] = walls
+    t_res, walls = timed(lambda: rf.resample(BENCH_CELL * 4).df.count())
+    results["raster_resample_16m_cells"] = round(t_res, 3)
+    all_walls["raster_resample_16m_cells"] = walls
+
     # -- raster operator suite on the sf tables ---------------------------------
     qs = E.queries()
     # dedup_minhash_fast: the production xxhash64 candidate-pair path, benched

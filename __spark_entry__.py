@@ -42,13 +42,16 @@ from rastr_spark.sources.documents import generate_documents
 from rastr_spark.tiles import RasterFrame
 
 # Oracle artifacts (Spark-materialized inputs the DuckDB twins replay from) live
-# under a PER-PROCESS directory: queries() and oracle_sql() are served from the
-# same module import, so the paths agree within a harness run, while concurrent
-# harness runs can never overwrite each other's artifacts mid-comparison.
+# under a PER-PROCESS directory by default: queries() and oracle_sql() are served
+# from the same module import, so the paths agree within a harness run, while
+# concurrent harness runs can never overwrite each other's artifacts
+# mid-comparison. A harness that runs the Spark queries and the DuckDB oracles in
+# SEPARATE processes must point both at the same dir via
+# RASTR_SPARK_ORACLE_ART_DIR (the per-PID default would otherwise diverge).
 import os as _os
 import tempfile as _tempfile
 
-_ORACLE_ART_DIR = _os.path.join(
+_ORACLE_ART_DIR = _os.environ.get("RASTR_SPARK_ORACLE_ART_DIR") or _os.path.join(
     _tempfile.gettempdir(), f"rastr_spark_oracle_{_os.getpid()}"
 )
 

@@ -336,7 +336,17 @@ def lsh_buckets_from_signatures(
     'xxhash64': bucket = one xxhash64 over the band's longs (8-byte bucket on
     the shuffle — two docs share a bucket iff their band slices are equal,
     modulo 64-bit collisions). 'md5': bucket = concat_ws of the band's hex
-    strings (bit-equal band slices, portable to the SQL oracle)."""
+    strings (bit-equal band slices, portable to the SQL oracle).
+
+    The input may be an externally-loaded artifact, so ``num_hashes`` is
+    validated against the data: ``num_hashes % bands != 0`` raises at plan
+    build, and a row whose signature length != ``num_hashes`` fails the job
+    (element_at past the array end would otherwise yield NULL in non-ANSI mode
+    and silently collapse every doc into one bucket per band)."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes={num_hashes} not divisible by bands={bands}"
+        )
     rows_per_band = num_hashes // bands
     if hash_family == "md5":
         bands_arr = F.array(
@@ -364,7 +374,16 @@ def lsh_buckets_from_signatures(
         )
     else:
         raise ValueError(f"unknown hash_family: {hash_family!r}")
-    return sig_df.select("id", F.explode(bands_arr).alias("bb")).select(
+    checked = F.when(F.size("sig") == num_hashes, bands_arr).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("lsh_buckets_from_signatures: signature length "),
+                F.size("sig").cast("string"),
+                F.lit(f" != num_hashes={num_hashes}"),
+            )
+        )
+    )
+    return sig_df.select("id", F.explode(checked).alias("bb")).select(
         "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
 

@@ -7,14 +7,17 @@ One declarative plan over a raw document table:
 
 Every stage is an already-oracled operator (functions/text.py,
 functions/dedup.py). Execution shape: the annotation/filter/join stages are
-lazy Catalyst plans; the fuzzy-dedup stage's connected-components loop is
-EAGER (it runs a few small Spark jobs at ``curate_corpus`` call time to reach
-the label fixpoint — see connected_components), with the resulting component
-table held in a GC-bounded localCheckpoint. Total cost is a handful of
-shuffles regardless of corpus size: one fingerprint-keyed groupBy for the
-exact pass (128-bit content fingerprints, never document bytes, as shuffle
-keys — see functions/dedup.py), the LSH banding joins for the fuzzy pass, and
-one final join back to the annotations.
+lazy Catalyst plans, but ``curate_corpus`` runs eager Spark jobs at CALL time
+in two places: the quality/lang-passing subset is localCheckpointed by default
+when the driver-known row bound permits (see ``materialize_passing`` /
+``MATERIALIZE_PASSING_MAX_ROWS`` — the dedup stack scans its input several
+times), and the fuzzy-dedup stage's connected-components loop runs a few
+small jobs to reach the label fixpoint (see connected_components), with the
+resulting component table held in a GC-bounded localCheckpoint. Total cost is
+a handful of shuffles regardless of corpus size: one fingerprint-keyed
+groupBy for the exact pass (128-bit content fingerprints, never document
+bytes, as shuffle keys — see functions/dedup.py), the LSH banding joins for
+the fuzzy pass, and one final join back to the annotations.
 """
 
 from __future__ import annotations
@@ -24,6 +27,16 @@ from pyspark.sql import functions as F
 
 from ..functions.dedup import fuzzy_dedup_assign
 from ..functions.text import bpe_token_count, lang_id, quality_score, token_count
+
+# Ceiling for the auto (materialize_passing=None) localCheckpoint of the
+# passing subset. Below it the cut is a measured win (210k corpus A/B:
+# 16.8-20.6 s → 11.9-13.9 s) and the spilled copy is small next to the
+# pipeline's own shuffles; above it (~20M docs × ~KB text ≈ tens of GB) the
+# checkpoint pins roughly the whole corpus to executor storage, so the lazy
+# plan (re-reading the columnar source scan per consumer) is the correct
+# cluster-scale shape — same guard pattern as flagship's
+# BROADCAST_PARTIALS_MAX_ROWS.
+MATERIALIZE_PASSING_MAX_ROWS = 20_000_000
 
 
 def curate_corpus(
@@ -40,18 +53,23 @@ def curate_corpus(
     hash_family: str = "xxhash64",
     max_bucket_size: int | None = None,
     cc_metrics: list | None = None,
-    materialize_passing: bool = True,
+    materialize_passing: bool | None = None,
+    input_rows_bound: int | None = None,
 ) -> DataFrame:
     """Per-doc curation decision table.
 
-    ``materialize_passing`` (default on): localCheckpoint the quality/lang-passing
-    (id, text) subset before the fuzzy stage. The dedup pipeline scans its input
-    several times (reps, LSH, rep mapping); without the cut each scan re-executes
-    the annotation expressions (multiple tokenizations per doc). Interleaved A/B
-    on the 210k bench corpus: 16.8-20.6 s → 11.9-13.9 s. Storage cost is the
-    passing subset spilled MEMORY_AND_DISK on executors — the same order as the
-    pipeline's own shuffles; disable for corpora where re-reading the source scan
-    is cheaper than holding the filtered copy.
+    ``materialize_passing``: localCheckpoint the quality/lang-passing (id, text)
+    subset before the fuzzy stage. The dedup pipeline scans its input several
+    times (reps, LSH, rep mapping); without the cut each scan re-executes the
+    annotation expressions (multiple tokenizations per doc). Interleaved A/B on
+    the 210k bench corpus: 16.8-20.6 s → 11.9-13.9 s. Storage cost is the
+    passing subset spilled MEMORY_AND_DISK on executors. Default ``None`` =
+    size-aware auto: the cut is applied only when the driver-known
+    ``input_rows_bound`` (an upper bound on input rows — e.g. the shard
+    manifest's row count; callers that just built the corpus know it for free)
+    is at most ``MATERIALIZE_PASSING_MAX_ROWS``; with no bound supplied, auto
+    keeps the cut (single-node historical behavior — pass the bound, or
+    ``False``, on cluster-scale corpora). Explicit True/False always wins.
 
     Returns (doc_id, quality, lang, bpe_tokens, ws_tokens, canonical_id, keep):
 
@@ -74,6 +92,11 @@ def curate_corpus(
     passing = annotated.filter(
         (F.col("quality") >= min_quality) & (F.col("lang").isin(list(langs)))
     ).select(id_col, text_col)
+    if materialize_passing is None:
+        materialize_passing = (
+            input_rows_bound is None
+            or input_rows_bound <= MATERIALIZE_PASSING_MAX_ROWS
+        )
     if materialize_passing:
         passing = passing.localCheckpoint(eager=True)
     assign = fuzzy_dedup_assign(
@@ -158,6 +181,7 @@ def fuzzy_dedup_checkpointed(
     eff_fp = (
         f"{input_fingerprint}|n={n}|nh={num_hashes}|b={bands}|t={threshold}"
         f"|hf={hash_family}|cap={max_bucket_size}"
+        f"|id={id_col}|txt={text_col}|mi={max_iters}"
     )
 
     reps_stage = cm.run_stage(
@@ -180,7 +204,7 @@ def fuzzy_dedup_checkpointed(
     def build_components() -> DataFrame:
         rounds: list[dict] = []
         comp = connected_components(edges_stage.df, max_iters=max_iters, metrics=rounds)
-        cm.record_round_metrics(spark, "dedup_components", rounds)
+        cm.record_round_metrics(spark, "dedup_components", rounds, run_fp=eff_fp)
         return comp
 
     comp_stage = cm.run_stage(spark, "dedup_components", eff_fp, build_components)

@@ -110,17 +110,23 @@ class CheckpointManager:
     # stage manifests live in (swap the parquet append for an Iceberg
     # `writeTo(...).append()` unchanged).
 
-    _METRICS_SCHEMA = "stage string, round int, changed long, wall_sec double, recorded_at double"
+    _METRICS_SCHEMA = (
+        "stage string, run_fp string, round int, changed long, wall_sec double, "
+        "recorded_at double"
+    )
 
     def record_round_metrics(
-        self, spark: SparkSession, stage: str, rounds: list[dict]
+        self, spark: SparkSession, stage: str, rounds: list[dict], run_fp: str = ""
     ) -> None:
         """Append per-round telemetry rows ({'round', 'changed', 'wall_sec'} —
         the shape connected_components emits via its ``metrics`` arg) under
-        this manager's metrics table."""
+        this manager's metrics table. ``run_fp`` (the stage's effective input
+        fingerprint) distinguishes rounds from distinct runs of the same stage
+        name — a parameter-change recompute appends under a new fingerprint
+        instead of interleaving indistinguishably."""
         now = time.time()
         rows = [
-            (stage, int(r["round"]), int(r["changed"]), float(r["wall_sec"]), now)
+            (stage, run_fp, int(r["round"]), int(r["changed"]), float(r["wall_sec"]), now)
             for r in rounds
         ]
         spark.createDataFrame(rows, self._METRICS_SCHEMA).coalesce(1).write.mode(

@@ -336,3 +336,33 @@ class TestFingerprintTextKeyEquivalence:
         b = {(r["doc_id"], r["canonical_id"]) for r in D.fuzzy_dedup_assign(
             docs, n=2, num_hashes=8, bands=4, threshold=0.5, key="text").collect()}
         assert a == b
+
+
+class TestSignatureArtifactValidation:
+    """lsh_buckets_from_signatures validates num_hashes against the loaded
+    artifact (ADVICE r4): a short signature must fail the job, not silently
+    collapse every doc into one bucket per band via NULL element_at."""
+
+    def test_short_signature_fails_job(self, spark):
+        bad = spark.createDataFrame([(1, [1, 2]), (2, [3, 4])], "id long, sig array<long>")
+        with pytest.raises(Exception, match="signature length"):
+            D.lsh_buckets_from_signatures(bad, num_hashes=4, bands=2).count()
+
+    def test_short_md5_signature_fails_job(self, spark):
+        bad = spark.createDataFrame([(1, ["a", "b"])], "id long, sig array<string>")
+        with pytest.raises(Exception, match="signature length"):
+            D.lsh_buckets_from_signatures(
+                bad, num_hashes=4, bands=2, hash_family="md5"
+            ).count()
+
+    def test_non_divisible_banding_raises_at_build(self, spark):
+        good = spark.createDataFrame([(1, [1, 2, 3, 4])], "id long, sig array<long>")
+        with pytest.raises(ValueError, match="not divisible"):
+            D.lsh_buckets_from_signatures(good, num_hashes=4, bands=3)
+
+    def test_valid_signatures_unaffected(self, spark):
+        good = spark.createDataFrame(
+            [(1, [1, 2, 3, 4]), (2, [1, 2, 9, 9])], "id long, sig array<long>"
+        )
+        out = D.lsh_buckets_from_signatures(good, num_hashes=4, bands=2)
+        assert out.count() == 4  # 2 ids × 2 bands

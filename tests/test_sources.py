@@ -78,12 +78,19 @@ class TestCheckpoint:
         assert rounds and rounds[-1]["changed"] == 0  # fixpoint recorded
         assert all({"round", "changed", "wall_sec"} <= set(r) for r in rounds)
         cm = CheckpointManager(tmp_path / "ckpt")
-        cm.record_round_metrics(spark, "cc_fuzzy", rounds)
+        cm.record_round_metrics(spark, "cc_fuzzy", rounds, run_fp="fp-A")
         back = cm.read_round_metrics(spark)
         rows = back.orderBy("round").collect()
         assert len(rows) == len(rounds)
         assert rows[0]["stage"] == "cc_fuzzy"
+        assert rows[0]["run_fp"] == "fp-A"
         assert [r["changed"] for r in rows] == [r["changed"] for r in rounds]
+        # a recompute under different parameters appends under its own
+        # fingerprint — telemetry from distinct runs stays distinguishable
+        cm.record_round_metrics(spark, "cc_fuzzy", rounds, run_fp="fp-B")
+        both = cm.read_round_metrics(spark)
+        assert both.select("run_fp").distinct().count() == 2
+        assert both.filter(F.col("run_fp") == "fp-A").count() == len(rounds)
 
 
 class TestRasterIO:

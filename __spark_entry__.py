@@ -32,11 +32,12 @@ import rastr_spark  # noqa: F401 — attaches operator surface
 from rastr_spark.functions import dedup as D
 from rastr_spark.functions import similarity as S
 from rastr_spark.functions import text as TXT
-from rastr_spark.functions.multimodal import image_features, synthesize_media
+from rastr_spark.functions.multimodal import decoded_pixels, image_features, synthesize_media
 from rastr_spark.geometry import Geometry
 from rastr_spark.meta import Affine, RasterMeta
 from rastr_spark.operators.aggregates import tile_partials
 from rastr_spark.operators.joins import knn_join, mosaic, zonal_stats
+from rastr_spark.operators.vectorize import contour_segments
 from rastr_spark.plans.flagship import doc_zonal_stats
 from rastr_spark.sources.documents import generate_documents
 from rastr_spark.tiles import RasterFrame
@@ -560,6 +561,133 @@ FROM alldocs d JOIN reps r USING (text) LEFT JOIN comp c ON c.node = r.rep
 """
 
 
+def _incr_shard(spark, sf_dir):
+    """The NEW shard for incremental dedup: exact copies of indexed docs
+    200-249, near copies (one appended token) of 250-299, and 50 genuinely
+    fresh synthetic docs — each class exercising one match_kind."""
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = d.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 250)).select(
+        (F.col("doc_id") + 300000).alias("doc_id"), "text"
+    )
+    near = d.filter((F.col("doc_id") >= 250) & (F.col("doc_id") < 300)).select(
+        (F.col("doc_id") + 400000).alias("doc_id"), F.concat("text", F.lit(" zq")).alias("text")
+    )
+    fresh = d.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 350)).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat(
+            F.lit("fresh incremental shard document number "),
+            F.col("doc_id").cast("string"),
+            F.lit(" with its own distinct vocabulary payload tokens"),
+        ).alias("text"),
+    )
+    return exact.unionByName(near).unionByName(fresh)
+
+
+def _q_dedup_incremental(spark, sf_dir):
+    """Incremental dedup of a NEW shard against a PERSISTED index (VERDICT r4
+    item 7): build_dedup_index fuzzy-dedups the existing corpus and persists
+    canonical/fingerprints/signatures parquet tables; incremental_dedup_assign
+    then assigns the shard via fingerprint joins + banding against the stored
+    signatures — the indexed corpus is never re-shingled. md5 hash family so
+    DuckDB replays the banding bit-for-bit (production default xxhash64)."""
+    idx_docs = _fuzzy_corpus(spark, sf_dir)
+    index_dir = f"{_ORACLE_ART_DIR}/dedup_index"
+    D.build_dedup_index(
+        idx_docs, index_dir=index_dir, n=3, num_hashes=8, bands=4,
+        threshold=0.5, hash_family="md5",
+    )
+    new = _incr_shard(spark, sf_dir)
+    out = D.incremental_dedup_assign(
+        new, idx_docs, index_dir=index_dir, n=3, num_hashes=8, bands=4,
+        threshold=0.5, hash_family="md5",
+    )
+    return out.select("doc_id", "canonical_id", "match_kind")
+
+
+_INCR_SHARD_SQL = """
+  SELECT doc_id + 300000 AS doc_id, text FROM documents WHERE doc_id >= 200 AND doc_id < 250
+  UNION ALL
+  SELECT doc_id + 400000 AS doc_id, text || ' zq' AS text FROM documents WHERE doc_id >= 250 AND doc_id < 300
+  UNION ALL
+  SELECT doc_id + 500000 AS doc_id,
+         'fresh incremental shard document number ' || doc_id || ' with its own distinct vocabulary payload tokens' AS text
+  FROM documents WHERE doc_id >= 300 AND doc_id < 350
+"""
+
+
+def _incremental_oracle() -> str:
+    """Replays build_dedup_index + incremental_dedup_assign end-to-end: the
+    index's canonical assignment via the shared _fuzzy_cc_sql chain (whose
+    grams/sig/bkt CTEs double as the index rep-gram/signature/bucket tables),
+    then the shard's md5 signatures, the band join against the index buckets,
+    the Jaccard verify against candidate rep texts, and the
+    (jaccard desc, canonical asc, rep asc) best-match rank. Exact matches join
+    by text (≡ the 128-bit fingerprint join modulo collisions, as in
+    _ORACLE_DEDUP_FUZZY's rep pre-pass)."""
+    mins2 = ", ".join(f"min(md5(gram || ':{i}')) AS h{i}" for i in range(8))
+    nbands2 = " UNION ALL ".join(
+        f"SELECT doc_id AS id, {bi} AS band, h{2*bi} || '|' || h{2*bi+1} AS bucket FROM nsig2"
+        for bi in range(4)
+    )
+    return f"""
+WITH RECURSIVE alldocs AS ({_FUZZY_CORPUS_SQL}),
+reps AS (SELECT text, min(doc_id) AS rep FROM alldocs GROUP BY text),
+rsrc AS (SELECT rep AS doc_id, text FROM reps),
+{_fuzzy_cc_sql("rsrc")},
+canon AS (
+  SELECT d.doc_id, coalesce(c.comp, r.rep) AS canonical_id
+  FROM alldocs d JOIN reps r USING (text) LEFT JOIN comp c ON c.node = r.rep
+),
+newdocs AS ({_INCR_SHARD_SQL}),
+ex AS (
+  SELECT n.doc_id, c.canonical_id, 'exact' AS match_kind
+  FROM newdocs n JOIN reps r ON r.text = n.text JOIN canon c ON c.doc_id = r.rep
+),
+rest AS (SELECT * FROM newdocs WHERE doc_id NOT IN (SELECT doc_id FROM ex)),
+ngrams2 AS (
+  SELECT DISTINCT doc_id, array_to_string(ts[g:g+2], ' ') AS gram
+  FROM (SELECT doc_id, ts, unnest(range(1, greatest(len(ts) - 1, 2))) AS g
+        FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+              FROM rest))
+  WHERE len(ts) >= 3
+),
+nsig2 AS (SELECT doc_id, {mins2} FROM ngrams2 GROUP BY doc_id),
+nbkt2 AS ({nbands2}),
+cand2 AS (
+  SELECT DISTINCT n.id AS nid, i.id AS iid
+  FROM nbkt2 n JOIN bkt i USING (band, bucket)
+),
+nsizes2 AS (SELECT doc_id, count(*) AS ng FROM ngrams2 GROUP BY doc_id),
+inter2 AS (
+  SELECT c.nid, c.iid, count(*) AS i
+  FROM cand2 c JOIN ngrams2 a ON a.doc_id = c.nid JOIN grams b ON b.doc_id = c.iid
+  WHERE a.gram = b.gram GROUP BY 1, 2
+),
+verified2 AS (
+  SELECT v.nid, v.iid, cn.canonical_id,
+         row_number() OVER (
+           PARTITION BY v.nid
+           ORDER BY v.j DESC, cn.canonical_id ASC, v.iid ASC
+         ) AS rk
+  FROM (
+    SELECT i2.nid, i2.iid, i2.i::double / (sa.ng + sb.ng - i2.i) AS j
+    FROM inter2 i2
+    JOIN nsizes2 sa ON sa.doc_id = i2.nid
+    JOIN sizes sb ON sb.doc_id = i2.iid
+  ) v JOIN canon cn ON cn.doc_id = v.iid
+  WHERE v.j >= 0.5
+),
+nearm AS (
+  SELECT nid AS doc_id, canonical_id, 'near' AS match_kind FROM verified2 WHERE rk = 1
+),
+matched AS (SELECT * FROM ex UNION ALL SELECT * FROM nearm)
+SELECT doc_id, canonical_id, match_kind FROM matched
+UNION ALL
+SELECT doc_id, doc_id AS canonical_id, 'new' AS match_kind
+FROM newdocs WHERE doc_id NOT IN (SELECT doc_id FROM matched)
+"""
+
+
 _STOP_SQL = "('" + "', '".join(TXT.STOPWORDS) + "')"
 
 
@@ -983,6 +1111,47 @@ FROM cells GROUP BY 1, 2
 """
 
 
+def _q_resample_up(spark, sf_dir):
+    """2× bilinear UPSAMPLE (reference test_raster.py TestResample's up
+    direction). Closed-form source mapping at factor 2: src = out/2 − 0.25, so
+    interior weights are exactly {0.75, 0.25} (edge rows/cols clamp to weight
+    0) — every output value is int/16, so the 6-dp round is tie-free in both
+    engines. NaN semantics: any NaN corner poisons the output cell (0·NaN is
+    NaN), mirrored by the oracle's four INNER joins."""
+    rf = _lineitem_raster(spark, sf_dir)
+    out = rf.resample(CELL / 2)
+    return out.cells(drop_nan=True).select("row", "col", F.round("value", 6).alias("value"))
+
+
+_ORACLE_RESAMPLE_UP = f"""
+WITH cells AS ({_CELLS_SQL}),
+oi AS (
+  SELECT CAST(r.range AS INT) AS row, CAST(c.range AS INT) AS col
+  FROM range(0, {2 * GRID}) r, range(0, {2 * GRID}) c
+),
+m AS (
+  SELECT row, col,
+    CASE WHEN row = 0 THEN 0 WHEN row % 2 = 0 THEN row // 2 - 1 ELSE row // 2 END AS y0,
+    CASE WHEN row = 0 THEN 0.0 WHEN row % 2 = 0 THEN 0.75 ELSE 0.25 END AS wy,
+    CASE WHEN col = 0 THEN 0 WHEN col % 2 = 0 THEN col // 2 - 1 ELSE col // 2 END AS x0,
+    CASE WHEN col = 0 THEN 0.0 WHEN col % 2 = 0 THEN 0.75 ELSE 0.25 END AS wx
+  FROM oi
+),
+m2 AS (
+  SELECT row, col, y0, x0, least(y0 + 1, {GRID - 1}) AS y1, least(x0 + 1, {GRID - 1}) AS x1, wy, wx
+  FROM m
+)
+SELECT m2.row AS row, m2.col AS col,
+       round(a00.value * (1 - wy) * (1 - wx) + a01.value * (1 - wy) * wx
+           + a10.value * wy * (1 - wx) + a11.value * wy * wx, 6) AS value
+FROM m2
+JOIN cells a00 ON a00.row = m2.y0 AND a00.col = m2.x0
+JOIN cells a01 ON a01.row = m2.y0 AND a01.col = m2.x1
+JOIN cells a10 ON a10.row = m2.y1 AND a10.col = m2.x0
+JOIN cells a11 ON a11.row = m2.y1 AND a11.col = m2.x1
+"""
+
+
 def _q_extrapolate(spark, sf_dir):
     li = _read(spark, sf_dir, "lineitem")
     r_cells = (
@@ -1323,24 +1492,169 @@ WHERE rank <= 5 AND (SELECT count(*) FROM cent) = 8 * 64
 
 
 def _q_contour(spark, sf_dir):
-    """Contour extraction summary (stitch order is not canonical → aggregate form)."""
+    """Stitched-contour topology summary — hash-oracled via the materialized
+    pre-stitch SEGMENT artifact (VERDICT r4 item 2; reference raster.py
+    contour + dissolve semantics, the stitch at raster.py:1134-1162).
+
+    The per-tile marching-squares segment table (the halo-exchange-distributed
+    part, and the only non-SQL kernel) is written to parquet; the Spark side
+    then computes a decomposition-invariant stitched summary per level —
+    segment/node counts, connected isoline count via the engine's OWN
+    distributed connected_components operator, open endpoints, largest
+    stitched component, coordinate sums — and DuckDB replays stitch
+    connectivity independently with a recursive CTE over the same artifact. A
+    missed cross-tile connection, a coordinate mismatch at a tile boundary, or
+    a wrong halo strip changes node identity/components and fails the hash.
+
+    (The greedy polyline WALK itself is order-dependent at degree>2 corner
+    nodes — exact integer data crossing integer levels — so the walk output is
+    not graph-canonical; it stays covered by the cross-tile equality tests.
+    Node keys round index coords at 1e-9 via floor(x*1e9+0.5) — identical
+    double arithmetic in both engines, no HALF_UP/half-even divergence.)"""
+    from rastr_spark.functions.dedup import connected_components
+
     rf = _lineitem_raster(spark, sf_dir)
-    pdf = rf.contour([200.0, 400.0], smoothing=False)
-    rows = []
-    for _, r in pdf.iterrows():
-        g = r["geometry"]
-        xy = g.xy
-        rows.append(
-            (
-                float(r["level"]),
-                int(len(g.ring_offsets) - 1),
-                int(len(xy)),
-                round(float(xy[:, 0].sum()), 2),
-                round(float(xy[:, 1].sum()), 2),
-            )
+    seg = contour_segments(rf, [200.0, 400.0])
+    path = f"{_ORACLE_ART_DIR}/contour_segments"
+    seg.write.mode("overwrite").parquet(path)
+    s = spark.read.parquet(path)
+
+    def k(c):
+        return F.floor(F.col(c) * 1e9 + F.lit(0.5)).cast("long")
+
+    s = s.select(
+        "level", "ra", "ca", "rb", "cb",
+        k("ra").alias("kra"), k("ca").alias("kca"),
+        k("rb").alias("krb"), k("cb").alias("kcb"),
+    ).withColumn("ida", F.xxhash64("level", "kra", "kca")).withColumn(
+        "idb", F.xxhash64("level", "krb", "kcb")
+    )
+    ends = s.select(
+        "level", F.col("ra").alias("rr"), F.col("ca").alias("cc"), F.col("ida").alias("nid")
+    ).unionAll(
+        s.select("level", F.col("rb"), F.col("cb"), F.col("idb"))
+    )
+    nodes = ends.groupBy("level", "nid").agg(
+        F.count("*").alias("deg"), F.min("rr").alias("rmin"), F.min("cc").alias("cmin")
+    )
+    comp = connected_components(
+        s.select(F.col("ida").alias("id_a"), F.col("idb").alias("id_b"))
+    )
+    nl = nodes.join(comp, nodes.nid == comp.node)
+    per_node = nl.groupBy("level").agg(
+        F.count("*").alias("n_nodes"),
+        F.countDistinct("comp").alias("n_components"),
+        F.sum((F.col("deg") == 1).cast("long")).alias("n_open_ends"),
+        F.round(F.sum(F.lit(CELL) * (F.col("cmin") + 0.5)), 2).alias("sum_x"),
+        F.round(F.sum(F.lit(WORLD) - F.lit(CELL) * (F.col("rmin") + 0.5)), 2).alias("sum_y"),
+    )
+    per_comp = (
+        s.join(comp, s.ida == comp.node)
+        .groupBy("level", "comp")
+        .agg(F.count("*").alias("ns"))
+        .groupBy("level")
+        .agg(F.max("ns").alias("max_component_segments"))
+    )
+    seg_counts = s.groupBy("level").agg(F.count("*").alias("n_segments"))
+    return (
+        seg_counts.join(per_node, "level")
+        .join(per_comp, "level")
+        .select(
+            "level", "n_segments", "n_nodes", "n_components",
+            "n_open_ends", "max_component_segments", "sum_x", "sum_y",
         )
-    return spark.createDataFrame(
-        rows, "level double, n_lines int, n_points int, sum_x double, sum_y double"
+    )
+
+
+def _contour_oracle(rounds: int = 14) -> str:
+    """Stitch-connectivity replay from the segment artifact. Connected
+    components run as FIXED-ROUND Borůvka basin contraction — the SAME
+    algorithm as functions/dedup.connected_components — generated as chained
+    MATERIALIZED CTEs: contour components are long PATHS (diameter ≈
+    component size), where a naive transitive-closure recursive CTE needs
+    diameter iterations (measured: tens of minutes at sf0.01) and per-node
+    hook+jump stalls at label local minima (measured: exactly one unmerged
+    basin boundary per level after 16 rounds). Contraction at least halves
+    live basins every round — 14 rounds cover ≥2¹⁴ initial basins, far beyond
+    any 64² raster's segment count — and a final zero-quotient-edge guard
+    makes an unconverged replay fail LOUDLY (empty result) instead of
+    comparing split components. MATERIALIZED is required: each round
+    references the previous multiple times, and DuckDB's default CTE inlining
+    would duplicate the subtree exponentially."""
+    parts = [
+        f"WITH seg AS MATERIALIZED (SELECT * FROM read_parquet('{_ORACLE_ART_DIR}/contour_segments/*.parquet'))",
+        """s AS MATERIALIZED (
+  SELECT level, ra, ca, rb, cb,
+         CAST(floor(ra * 1e9 + 0.5) AS BIGINT) AS kra, CAST(floor(ca * 1e9 + 0.5) AS BIGINT) AS kca,
+         CAST(floor(rb * 1e9 + 0.5) AS BIGINT) AS krb, CAST(floor(cb * 1e9 + 0.5) AS BIGINT) AS kcb
+  FROM seg)""",
+        """ends AS (
+  SELECT level, kra AS kr, kca AS kc, ra AS rr, ca AS cc FROM s
+  UNION ALL SELECT level, krb, kcb, rb, cb FROM s)""",
+        """nodes AS (
+  SELECT level, kr, kc, count(*) AS deg, min(rr) AS rmin, min(cc) AS cmin
+  FROM ends GROUP BY 1, 2, 3)""",
+        # node ids are HASHED, not coordinate-ordered: contraction under a
+        # coordinate-monotone id order stalls on isoline chains (the quotient
+        # becomes shift-invariant — measured ~2 merges/round); a random order
+        # shrinks basins geometrically (same reasoning as the Spark operator's
+        # hash-randomized labels). Labels never enter the output, only counts.
+        """nid AS MATERIALIZED (
+  SELECT level, kr, kc, deg, rmin, cmin,
+         hash(level, kr, kc) AS id
+  FROM nodes)""",
+        """e0 AS (
+  SELECT a.id AS u, b.id AS v
+  FROM s
+  JOIN nid a ON a.level = s.level AND a.kr = s.kra AND a.kc = s.kca
+  JOIN nid b ON b.level = s.level AND b.kr = s.krb AND b.kc = s.kcb)""",
+        "edges AS MATERIALIZED (SELECT u, v FROM e0)",
+        "p0 AS MATERIALIZED (SELECT id AS node, id AS lab FROM nid)",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(f"""q{k} AS MATERIALIZED (
+  SELECT DISTINCT a.lab AS cu, b.lab AS cv
+  FROM edges e JOIN p{k - 1} a ON a.node = e.u JOIN p{k - 1} b ON b.node = e.v
+  WHERE a.lab <> b.lab)""")
+        parts.append(f"""m{k} AS MATERIALIZED (
+  SELECT cu, min(cv) AS mv
+  FROM (SELECT cu, cv FROM q{k} UNION ALL SELECT cv, cu FROM q{k})
+  GROUP BY cu HAVING min(cv) < cu)""")
+        parts.append(f"""mm{k} AS MATERIALIZED (
+  SELECT a.cu, coalesce(b.mv, a.mv) AS mv
+  FROM m{k} a LEFT JOIN m{k} b ON b.cu = a.mv)""")
+        parts.append(f"""p{k} AS MATERIALIZED (
+  SELECT l.node, coalesce(mm.mv, l.lab) AS lab
+  FROM p{k - 1} l LEFT JOIN mm{k} mm ON mm.cu = l.lab)""")
+    parts.append(f"""qfin AS MATERIALIZED (
+  SELECT a.lab AS cu, b.lab AS cv
+  FROM edges e JOIN p{rounds} a ON a.node = e.u JOIN p{rounds} b ON b.node = e.v
+  WHERE a.lab <> b.lab)""")
+    parts.append(f"comp AS MATERIALIZED (SELECT node, lab AS comp FROM p{rounds})")
+    parts.append("""nodelab AS (
+  SELECT n.level, n.deg, n.rmin, n.cmin, c.comp
+  FROM nid n JOIN comp c ON c.node = n.id)""")
+    parts.append(f"""pernode AS (
+  SELECT level, count(*) AS n_nodes, count(DISTINCT comp) AS n_components,
+         CAST(sum(CASE WHEN deg = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_open_ends,
+         round(sum({CELL!r} * (cmin + 0.5)), 2) AS sum_x,
+         round(sum({WORLD!r} - {CELL!r} * (rmin + 0.5)), 2) AS sum_y
+  FROM nodelab GROUP BY level
+  HAVING (SELECT count(*) FROM qfin) = 0)""")
+    parts.append("""segcomp AS (
+  SELECT s.level, c.comp, count(*) AS ns
+  FROM s
+  JOIN nid a ON a.level = s.level AND a.kr = s.kra AND a.kc = s.kca
+  JOIN comp c ON c.node = a.id
+  GROUP BY 1, 2)""")
+    parts.append("percomp AS (SELECT level, max(ns) AS max_component_segments FROM segcomp GROUP BY level)")
+    parts.append("segcnt AS (SELECT level, count(*) AS n_segments FROM s GROUP BY level)")
+    return (
+        ",\n".join(parts)
+        + """
+SELECT level, n_segments, n_nodes, n_components, n_open_ends, max_component_segments, sum_x, sum_y
+FROM segcnt JOIN pernode USING (level) JOIN percomp USING (level)
+"""
     )
 
 
@@ -1449,7 +1763,18 @@ WHERE rn = 1
 
 
 def _q_multimodal_features(spark, sf_dir):
+    """image_features over synthesized media — hash-oracled via the
+    materialized decoded-PIXEL artifact: the stub decoder's raw uint8 buffer
+    (the only non-SQL-replayable step — the codec) is written to parquet, and
+    DuckDB independently replays the grid pooling + feature arithmetic in
+    float32 (REAL casts reproduce numpy's single-precision rounding bitwise:
+    block sums of uint8 are < 2^24 so they are exact in float32, and the two
+    divisions /48 and /255 round once each in both engines). The Spark side
+    still runs the PRODUCTION mapInPandas path end-to-end."""
     media = synthesize_media(spark, 300)
+    decoded_pixels(media, fake_decode=True).write.mode("overwrite").parquet(
+        f"{_ORACLE_ART_DIR}/media_pixels"
+    )
     feats = image_features(media, grid=4, fake_decode=True)
     return feats.select(
         "media_id",
@@ -1458,24 +1783,101 @@ def _q_multimodal_features(spark, sf_dir):
     )
 
 
+# flat pixel index i (row-major H×W×C, 16×16×3): row = i // 48, col = (i // 3) % 16,
+# grid cell (a, b) = (row // 4, col // 4); every cell pools exactly 48 pixels, so
+# mean = sum/48. The REAL casts round exactly where numpy's float32 does.
+_ORACLE_MM_FEATURES = f"""
+WITH px AS (SELECT * FROM read_parquet('{_ORACLE_ART_DIR}/media_pixels/*.parquet')),
+flat AS (
+  SELECT media_id, unnest(range(0, len(pix))) AS i, unnest(pix) AS v FROM px
+),
+cell AS (
+  SELECT media_id, (i // 48) // 4 AS a, ((i // 3) % 16) // 4 AS b,
+         CAST(CAST(sum(v) / 48.0 AS REAL) / 255.0 AS REAL) AS f
+  FROM flat GROUP BY 1, 2, 3
+)
+SELECT media_id, round(sum(CAST(f AS DOUBLE)), 6) AS feat_sum, CAST(16 AS INT) AS feat_dim
+FROM cell
+GROUP BY media_id
+HAVING (SELECT count(*) FROM px) = 100
+   AND (SELECT min(len(pix)) || '/' || max(len(pix)) FROM px) = '768/768'
+"""
+
+
 def _q_media_neardup(spark, sf_dir):
     """Document-level media dedup COMPOSITION (pipeline-level evidence for the
     multimodal family): synthesized media table with planted duplicate payloads
     → image_features (mapInPandas Arrow decode, stub codec honestly faked) →
     embedding_near_dups (SRP-bucketed cosine) over the feature vectors. The
     fake decoder is a pure function of the payload, so payload duplicates MUST
-    surface as cosine-1 near-dup pairs. Rows-only (stub codec blocks a SQL
-    twin); determinism: seeded media synthesis + deterministic features."""
+    surface as cosine-1 near-dup pairs.
+
+    Hash-oracled via the materialized-artifact pattern: the FEATURE table (the
+    decode boundary's output) is written to parquet; everything downstream —
+    the splitmix SRP hyperplanes (embedded as SQL VALUES), bucket assignment,
+    the bucket self-join, cosine, and the threshold — is replayed by DuckDB
+    independently. Determinism: seeded media synthesis + deterministic
+    features."""
     media = synthesize_media(spark, 300).filter(F.col("kind") == "image")
     dups = media.filter(F.col("media_id").isin([f"m-{3 * i}" for i in range(20)])).select(
         F.concat(F.lit("dup-"), "media_id").alias("media_id"), "kind", "payload", "meta"
     )
     feats = image_features(media.unionByName(dups), grid=4, fake_decode=True)
+    path = f"{_ORACLE_ART_DIR}/media_features"
+    feats.write.mode("overwrite").parquet(path)
+    feats2 = spark.read.parquet(path)
     pairs = S.embedding_near_dups(
-        feats.select("media_id", F.transform("feature", lambda x: x.cast("double")).alias("feature")),
+        feats2.select("media_id", F.transform("feature", lambda x: x.cast("double")).alias("feature")),
         threshold=0.999, dim=16, n_planes=6, vec_id="media_id", vec_col="feature",
     )
     return pairs.select("id_a", "id_b", F.round("score", 6).alias("score"))
+
+
+def _media_neardup_oracle() -> str:
+    """Replays embedding_near_dups from the materialized feature artifact: the
+    6×16 splitmix plane matrix (pure function of (seed=7, dim=16)) as VALUES,
+    bucket = sign bits of the projections, pairs = bucket self-join with
+    id_a < id_b, cosine ≥ 0.999 (same VALUES-plane trick as _srp_oracle)."""
+    planes = S._hyperplanes(16, 6, 7)
+    rows = [
+        f"({j}, {i + 1}, {float(planes[j, i])!r})"
+        for j in range(planes.shape[0])
+        for i in range(planes.shape[1])
+    ]
+    values = ",\n    ".join(rows)
+    return f"""
+WITH planes(j, i, w) AS (VALUES
+    {values}),
+f AS (SELECT * FROM read_parquet('{_ORACLE_ART_DIR}/media_features/*.parquet')),
+comps AS (
+  SELECT media_id, unnest(range(1, len(feature) + 1)) AS i, unnest(feature)::DOUBLE AS x
+  FROM f
+),
+proj AS (
+  SELECT c.media_id, p.j, sum(c.x * p.w) AS pr
+  FROM comps c JOIN planes p ON p.i = c.i
+  GROUP BY 1, 2
+),
+bkt AS (
+  SELECT media_id, CAST(sum(CASE WHEN pr > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY 1
+),
+v AS (SELECT f.media_id, f.feature, b.bucket FROM f JOIN bkt b USING (media_id)),
+pairs AS (
+  SELECT a.media_id AS id_a, b2.media_id AS id_b, a.feature AS fa, b2.feature AS fb
+  FROM v a JOIN v b2 USING (bucket)
+  WHERE a.media_id < b2.media_id
+),
+comp AS (
+  SELECT id_a, id_b, sum(a * b) AS dot, sum(a * a) AS na, sum(b * b) AS nb
+  FROM (SELECT id_a, id_b, unnest(fa)::DOUBLE AS a, unnest(fb)::DOUBLE AS b FROM pairs)
+  GROUP BY id_a, id_b
+)
+SELECT DISTINCT id_a, id_b, round(dot / (sqrt(na) * sqrt(nb)), 6) AS score
+FROM comp
+WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.999
+  AND (SELECT count(*) FROM f) = 120
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1493,6 +1895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_sobel_interior": _q_sobel,
         "raster_blur_interior": _q_blur,
         "raster_resample_2x_down": _q_resample,
+        "raster_resample_2x_up": _q_resample_up,
         "raster_extrapolate_nn": _q_extrapolate,
         "raster_distance_to_box": _q_distance,
         "raster_taper_border": _q_taper,
@@ -1504,6 +1907,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_fuzzy": _q_dedup_fuzzy,
         "pipeline_curate": _q_pipeline_curate,
         "dedup_minhash_lsh": _q_minhash_lsh,
+        # oracle-verified: index build + shard assignment replayed end-to-end
+        "dedup_incremental": _q_dedup_incremental,
         "text_token_stats": _q_token_stats,
         "text_quality_langid": _q_quality_langid,
         "text_bpe_tokens": _q_text_bpe_tokens,
@@ -1522,9 +1927,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_fast": _q_minhash_fast,
         "dedup_simhash": _q_simhash,
         "dedup_simhash_hamming": _q_simhash_hamming,
-        # rows-only (no SQL-expressible oracle — stub codec):
+        # oracle-verified via materialized decode-boundary artifacts (pixel
+        # buffer / feature table written to parquet; pooling arithmetic and
+        # SRP bucketing + cosine replayed in SQL — only the stub codec itself
+        # is outside the replay):
         "multimodal_image_features": _q_multimodal_features,
         "multimodal_media_neardup": _q_media_neardup,
+        # oracle-verified via the materialized pre-stitch segment artifact
+        # (stitch connectivity replayed as a recursive CTE; only the
+        # marching-squares kernel itself is outside the replay):
         "raster_contour_summary": _q_contour,
         # oracle-verified: fixed Delaunay embedded as VALUES, barycentric in SQL
         "raster_point_cloud_interp": _q_point_cloud,
@@ -1546,6 +1957,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_sobel_interior": _ORACLE_SOBEL,
         "raster_blur_interior": _blur_oracle(),
         "raster_resample_2x_down": _ORACLE_RESAMPLE,
+        "raster_resample_2x_up": _ORACLE_RESAMPLE_UP,
         "raster_extrapolate_nn": _ORACLE_EXTRAPOLATE,
         "raster_distance_to_box": _ORACLE_DISTANCE,
         "raster_taper_border": _ORACLE_TAPER,
@@ -1571,4 +1983,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_fast": _ORACLE_MINHASH_FAST,
         "dedup_simhash": _ORACLE_SIMHASH,
         "dedup_simhash_hamming": _ORACLE_SIMHASH_HAMMING,
+        "multimodal_image_features": _ORACLE_MM_FEATURES,
+        "multimodal_media_neardup": _media_neardup_oracle(),
+        "raster_contour_summary": _contour_oracle(),
+        "dedup_incremental": _incremental_oracle(),
     }

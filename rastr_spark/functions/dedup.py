@@ -23,7 +23,7 @@ full Jaccard runs only on LSH candidates. Embedding near-dup lives in similarity
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import tokens, word_ngrams
@@ -601,40 +601,50 @@ def connected_components(
 ) -> DataFrame:
     """(node, comp) — comp = the minimum node id in each connected component.
 
-    Min-label propagation WITH pointer jumping: every round each node takes
-    the min label over itself and its neighbors, then path-halves by adopting
-    its label's own label (comp ← comp(comp(node)) — Shiloach–Vishkin style).
-    The jump makes convergence O(log n) rounds on ANY graph shape — including
-    long path components like web-page revision chains (successive one-edit
-    near-dups), where plain propagation would need O(chain length) rounds.
-    LSH banding's near-clique components still converge in 1-3 rounds; the
-    loop detects the fixpoint (one count job per round) and stops.
+    Borůvka-style label contraction in a HASH-RANDOMIZED label order: every
+    round builds the QUOTIENT graph of the current labels (one distinct edge
+    per pair of adjacent label-basins), merges each basin into its smallest
+    neighbouring basin, shortcuts the small basin→basin mapping through
+    itself once, and composes it into the labels. Labels are ordered by
+    ``struct(xxhash64(node), node)`` — a random total order with a
+    collision-free tie-break — NOT by raw node id: under any FIXED order an
+    adversarial id layout defeats contraction (ids monotone along a chain
+    make the quotient shift-invariant — each round's two-step compression
+    just renames the chain and only its head merges, ~2 basins/round;
+    measured on both sequential-id chains and coordinate-ordered contour
+    isolines). Under the hashed order, monotone runs have probability ~1/k!
+    per k-chain, so basins shrink geometrically for ANY input id
+    distribution (measured: ÷2.7/round, 8000-node path in 10 rounds). After
+    the fixpoint, one groupBy maps each component's hash-order winner to the
+    component's MIN NODE ID — the deterministic canonical the callers (and
+    the SQL oracle replays) rely on; the hash never leaks into the result.
+    LSH banding's near-clique components still converge in 1-3 rounds.
 
-    Each round is two shuffle-joins + a groupBy-min, materialized with an
-    EAGER ``localCheckpoint``: the jump self-join references the round's
-    intermediate twice, so without lineage truncation the logical plan would
-    DOUBLE per round (exponential tree → driver OOM around round 10 — found
-    by the 200-node chain test). Checkpoint blocks are owned by their RDDs
-    and reclaimed by the ContextCleaner when a round's DataFrame is garbage
-    collected, so storage for dead rounds is released automatically and the
-    returned result holds only its own blocks for its own lifetime.
+    Round cost: one shuffle-join of the (checkpointed) edge list against the
+    labels, a distinct on the (shrinking) quotient edges, a groupBy-min over
+    basins, and one label update — with exactly ONE driver action (the
+    quotient-edge count, which doubles as the fixpoint test and materializes
+    the round's lazily-checkpointed tables). Checkpoint blocks are owned by
+    their RDDs and reclaimed by the ContextCleaner when a round's DataFrame is
+    garbage collected.
 
     Raises RuntimeError if not converged after ``max_iters`` — returning
     un-converged labels would silently split components.
 
     ``metrics``: optional list; each round appends
-    ``{"round": i, "changed": n, "wall_sec": s}`` — convergence telemetry a
-    100 TB run logs to its checkpoint metrics table so mid-clustering progress
-    is observable/resumable (the north-rule lineage story applied to the one
-    iterative operator; see tests/test_checkpoint.py for the wiring).
+    ``{"round": i, "changed": n, "wall_sec": s}`` where ``changed`` is the
+    round's remaining cross-basin quotient-edge count (0 = fixpoint) —
+    convergence telemetry a 100 TB run logs to its checkpoint metrics table so
+    mid-clustering progress is observable/resumable (the north-rule lineage
+    story applied to the one iterative operator).
     """
     import time as _time
 
     # materialize the edge list ONCE before iterating: `edges` typically carries
     # an expensive upstream lineage (LSH + Jaccard verify), and the loop scans
-    # it via nodes (2×) plus sym (2× per round) — without this checkpoint each
-    # round re-executes the post-shuffle tail of that pipeline. Measured on the
-    # 210k-doc bench corpus: ~10 s/round → sub-second rounds.
+    # it every round — without this checkpoint each round re-executes the
+    # post-shuffle tail of that pipeline. Measured on the 210k-doc bench
+    # corpus: ~10 s/round → sub-second rounds.
     edges = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
         eager=True
     )
@@ -643,56 +653,59 @@ def connected_components(
         .unionByName(edges.select(F.col("v").alias("node")))
         .distinct()
     )
-    sym = edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    labels = nodes.withColumn("comp", F.col("node")).localCheckpoint(eager=True)
+    labels = nodes.withColumn(
+        "comp", F.struct(F.xxhash64("node").alias("h"), F.col("node").alias("n"))
+    ).localCheckpoint(eager=True)
     for round_i in range(max_iters):
         t0 = _time.time()
-        nbr_min = (
-            sym.join(labels.select(F.col("node").alias("v"), F.col("comp").alias("vc")), "v")
-            .groupBy("u")
-            .agg(F.min("vc").alias("nmin"))
-            .withColumnRenamed("u", "node")
-        )
-        stepped = labels.join(nbr_min, "node", "left").select(
-            "node",
-            F.least(F.col("comp"), F.coalesce("nmin", F.col("comp"))).alias("comp"),
-        )
-        # pointer jump (path halving): adopt the label's own label. Labels only
-        # decrease and always name a node of the same component, so the jump is
-        # safe; it is what turns O(diameter) into O(log n) rounds.
-        jump = stepped.select(
-            F.col("node").alias("comp"), F.col("comp").alias("_cc")
-        )
-        # lazy checkpoint: the fixpoint-count job below materializes it, so a
-        # round costs ONE Spark job instead of two (checkpoint job + count job)
-        # while still truncating lineage — the eager variant's OOM protection
-        # (the jump self-join doubles the logical plan per round) is preserved
-        # because the plan is cut at materialization either way
-        new_labels = (
-            stepped.join(jump, "comp", "left")
-            .select(
-                "node",
-                F.least(F.col("comp"), F.coalesce("_cc", F.col("comp"))).alias("comp"),
-            )
+        # quotient edges: one distinct row per adjacent basin pair
+        e2 = (
+            edges.join(labels.select(F.col("node").alias("u"), F.col("comp").alias("cu")), "u")
+            .join(labels.select(F.col("node").alias("v"), F.col("comp").alias("cv")), "v")
+            .select("cu", "cv")
+            .filter(F.col("cu") != F.col("cv"))
+            .distinct()
         ).localCheckpoint(eager=False)
-        # both sides of the fixpoint compare are checkpointed scans — cheap
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new_labels
+        # the round's ONE driver action: materializes e2 (and, transitively,
+        # this round's lazily-checkpointed labels) and tests the fixpoint
+        n_cross = e2.count()
         if metrics is not None:
             metrics.append(
-                {"round": round_i, "changed": int(changed),
+                {"round": round_i, "changed": int(n_cross),
                  "wall_sec": round(_time.time() - t0, 4)}
             )
-        if changed == 0:
-            return labels
+        if n_cross == 0:
+            # translate the hash-order component winners to min NODE ids:
+            # deterministic canonical labels, independent of the hash
+            roots = labels.groupBy("comp").agg(F.min("node").alias("_root"))
+            return labels.join(roots, "comp").select(
+                "node", F.col("_root").alias("comp")
+            )
+        sym2 = e2.unionByName(e2.select(F.col("cv").alias("cu"), F.col("cu").alias("cv")))
+        # each basin → its smallest adjacent basin (only if smaller: labels
+        # must be monotone non-increasing and always name a component member)
+        m = (
+            sym2.groupBy("cu")
+            .agg(F.min("cv").alias("mv"))
+            .filter(F.col("mv") < F.col("cu"))
+        )
+        # one self-composition shortcuts merge CHAINS (a→b→c becomes a→c);
+        # m is basin-sized (≪ nodes), so this join is cheap
+        m = (
+            m.join(
+                m.select(F.col("cu").alias("mv"), F.col("mv").alias("_mm")),
+                "mv",
+                "left",
+            )
+            .select("cu", F.coalesce("_mm", F.col("mv")).alias("mv"))
+        )
+        labels = (
+            labels.join(m.withColumnRenamed("cu", "comp"), "comp", "left")
+            .select("node", F.coalesce("mv", F.col("comp")).alias("comp"))
+        ).localCheckpoint(eager=False)
     raise RuntimeError(
         f"connected_components did not converge in {max_iters} rounds — "
-        "raise max_iters (pointer jumping needs ~log2(n) rounds)"
+        "raise max_iters (basin contraction needs ~log2(n) rounds)"
     )
 
 
@@ -819,3 +832,166 @@ def fuzzy_dedup_assign(
     # is GC-bounded by the result's lifetime, never a session-lifetime cache
     comp = connected_components(edges, max_iters=max_iters, metrics=cc_metrics)
     return assign_canonical(keyed, keys, reps, comp, id_col)
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup against a persisted index
+# ---------------------------------------------------------------------------
+
+def build_dedup_index(
+    docs: DataFrame,
+    *,
+    index_dir: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_family: str = "xxhash64",
+    max_iters: int = 25,
+    max_bucket_size: int | None = None,
+    cc_metrics: list | None = None,
+) -> DataFrame:
+    """Fuzzy-dedup the corpus AND persist the reusable index tables under
+    ``index_dir`` — the production shape for a corpus that grows by shards:
+    dedup the existing data once, then assign every NEW shard against the
+    index (:func:`incremental_dedup_assign`) without re-shingling the corpus.
+
+    Three parquet tables, all FIXED-WIDTH columns (no document bytes — the
+    index for a 100 TB corpus is a few dozen bytes/doc):
+
+      canonical/     (id_col, canonical_id)       one row per indexed doc
+      fingerprints/  (_fp1,_fp2,_fpl, canonical_id) one row per DISTINCT text
+      signatures/    (id, sig, canonical_id)      one row per text REP that
+                                                  shingles (≥ n tokens)
+
+    Returns the canonical assignment DataFrame (read back from the index).
+    """
+    spark = docs.sparkSession
+    keyed, keys = _group_keys(docs.select(id_col, text_col), text_col, "fingerprint")
+    reps = exact_rep_table(keyed, keys, id_col)
+    edges = verified_near_dup_edges(
+        reps.select(id_col, text_col), n=n, num_hashes=num_hashes, bands=bands,
+        threshold=threshold, id_col=id_col, text_col=text_col,
+        hash_family=hash_family, max_bucket_size=max_bucket_size,
+    )
+    comp = connected_components(edges, max_iters=max_iters, metrics=cc_metrics)
+    assign = assign_canonical(keyed, keys, reps, comp, id_col)
+    assign.write.mode("overwrite").parquet(f"{index_dir}/canonical")
+    canon = spark.read.parquet(f"{index_dir}/canonical")
+    reps.select(*keys, id_col).join(canon, id_col).select(
+        *keys, "canonical_id"
+    ).write.mode("overwrite").parquet(f"{index_dir}/fingerprints")
+    sigs = minhash_signatures_df(
+        reps.select(id_col, text_col), n=n, num_hashes=num_hashes,
+        id_col=id_col, text_col=text_col, hash_family=hash_family,
+    )
+    sigs.join(
+        canon.select(F.col(id_col).alias("id"), "canonical_id"), "id"
+    ).write.mode("overwrite").parquet(f"{index_dir}/signatures")
+    return canon
+
+
+def incremental_dedup_assign(
+    new_docs: DataFrame,
+    index_docs: DataFrame,
+    *,
+    index_dir: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_family: str = "xxhash64",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Assign a NEW shard against a persisted dedup index
+    (:func:`build_dedup_index`) — (doc_id, canonical_id, match_kind) for every
+    new doc, without touching the indexed corpus's shingles:
+
+      'exact'  byte-identical to an indexed text → that text's canonical.
+               Fingerprint-keyed equi-join against fingerprints/ — fixed-width
+               keys, never document bytes on the shuffle.
+      'near'   MinHash-LSH banding of the new docs joined against the banding
+               of signatures/ (recomputed from the stored sigs — pure
+               arithmetic, no corpus text), then exact n-gram Jaccard verify
+               against only the CANDIDATE indexed reps' text (``index_docs``
+               supplies text for verification; candidate count ≪ corpus).
+               Best match = highest Jaccard, ties to the smallest canonical.
+      'new'    no index match → canonical_id = own id.
+
+    Intra-shard duplicates are deliberately out of scope (the documented
+    contract): run :func:`fuzzy_dedup_assign` on the shard first, or fold the
+    surviving shard into the next index rebuild. Banding parameters must match
+    the ones the index was built with — signature length is validated by
+    :func:`lsh_buckets_from_signatures` (a mismatched ``num_hashes`` fails the
+    job rather than silently mis-bucketing).
+    """
+    spark = new_docs.sparkSession
+    fps = spark.read.parquet(f"{index_dir}/fingerprints")
+    sigs = spark.read.parquet(f"{index_dir}/signatures")
+    keyed = new_docs.select(id_col, text_col).select("*", *_fp_cols(text_col))
+
+    exact = keyed.join(fps, list(_FP_NAMES)).select(
+        id_col, "canonical_id", F.lit("exact").alias("match_kind")
+    )
+    rest = keyed.join(fps, list(_FP_NAMES), "left_anti")
+
+    new_sigs = minhash_signatures_df(
+        rest, n=n, num_hashes=num_hashes, id_col=id_col, text_col=text_col,
+        hash_family=hash_family,
+    )
+    new_b = lsh_buckets_from_signatures(
+        new_sigs, num_hashes=num_hashes, bands=bands, hash_family=hash_family
+    ).select(F.col("id").alias("_nid"), "band", "bucket")
+    idx_b = lsh_buckets_from_signatures(
+        sigs.select("id", "sig"), num_hashes=num_hashes, bands=bands,
+        hash_family=hash_family,
+    ).select(F.col("id").alias("_iid"), "band", "bucket")
+    if max_bucket_size is not None:
+        hot = (
+            idx_b.groupBy("band", "bucket")
+            .agg(F.count("*").alias("_bn"))
+            .filter(F.col("_bn") > max_bucket_size)
+            .select("band", "bucket")
+        )
+        idx_b = idx_b.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
+    cands = new_b.join(idx_b, ["band", "bucket"]).select("_nid", "_iid").distinct()
+
+    new_grams = rest.select(
+        F.col(id_col).alias("_nid"), word_ngrams(F.col(text_col), n).alias("_ga")
+    )
+    idx_grams = index_docs.select(
+        F.col(id_col).alias("_iid"), word_ngrams(F.col(text_col), n).alias("_gb")
+    )
+    inter = F.size(F.array_intersect("_ga", "_gb"))
+    union = F.size("_ga") + F.size("_gb") - inter
+    verified = (
+        cands.join(new_grams, "_nid")
+        .join(idx_grams, "_iid")
+        .withColumn("_j", inter.cast("double") / union.cast("double"))
+        .filter(F.col("_j") >= threshold)
+        .join(sigs.select(F.col("id").alias("_iid"), "canonical_id"), "_iid")
+    )
+    w = Window.partitionBy("_nid").orderBy(
+        F.col("_j").desc(), F.col("canonical_id").asc(), F.col("_iid").asc()
+    )
+    near = (
+        verified.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(
+            F.col("_nid").alias(id_col), "canonical_id",
+            F.lit("near").alias("match_kind"),
+        )
+    )
+    matched = exact.unionByName(near)
+    fresh = (
+        keyed.join(matched.select(id_col), id_col, "left_anti")
+        .select(
+            id_col, F.col(id_col).alias("canonical_id"),
+            F.lit("new").alias("match_kind"),
+        )
+    )
+    return matched.unionByName(fresh)

@@ -96,6 +96,43 @@ def image_features(media: DataFrame, *, grid: int = 4, fake_decode: bool = True)
     )
 
 
+PIXELS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("pix", T.ArrayType(T.IntegerType()), False),
+    ]
+)
+
+
+def decoded_pixels(media: DataFrame, *, fake_decode: bool = True) -> DataFrame:
+    """Decode → flattened HWC uint8 pixel buffer as array<int> (row-major).
+
+    Debug/verification surface: materializing this table makes everything
+    DOWNSTREAM of the decode (grid pooling, feature arithmetic) independently
+    replayable by an external engine, isolating the only non-replayable step
+    (the codec) — the same artifact-oracle trick the dedup family uses for
+    xxhash64 signatures.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, pixes = [], []
+            for mid, payload, m in zip(
+                pdf["media_id"].to_numpy(), pdf["payload"].to_numpy(), pdf["meta"].to_numpy()
+            ):
+                w = int(m["width"] or 16)
+                h = int(m["height"] or 16)
+                c = int(m["channels"] or 3)
+                img = decode_image(payload, w, h, c, fake=fake_decode)
+                ids.append(mid)
+                pixes.append(img.ravel().astype(np.int32))
+            yield pd.DataFrame({"media_id": ids, "pix": pixes})
+
+    return media.filter(F.col("kind") == "image").select("media_id", "payload", "meta").mapInPandas(
+        run, PIXELS_SCHEMA
+    )
+
+
 def decode_audio(payload: bytes, n_samples: int, *, fake: bool = False) -> np.ndarray:
     """STUB: real decode requires an audio codec (absent in this container).
 

@@ -119,24 +119,109 @@ def halo_messages(rf: RasterFrame, h: int) -> DataFrame:
     return exploded
 
 
+def halo_messages_targeted(rf: RasterFrame, h: int, targets: DataFrame) -> DataFrame:
+    """Strip messages for a RESTRICTED target-tile set — the scale path for
+    late extrapolate rounds, where only a few NaN-remaining tiles need a (very
+    wide) halo but every tile is a potential donor.
+
+    The ring-offset builder (:func:`halo_messages`) enumerates (2R+1)² offsets
+    per SOURCE tile — O(n_tiles · R²) generated rows regardless of how few
+    targets survive a downstream filter, which explodes at R ≈ n_tile_rows
+    (the full-radius round: every tile × every offset). Here the message set
+    is built as sources ⋈ broadcast(targets) filtered to the Chebyshev ring —
+    O(n_tiles · n_targets) rows — with the SAME strip-slice arithmetic, dr/dc
+    as columns instead of literals. Identical messages, different generator.
+    """
+    meta = rf.meta
+    Tsz = meta.tile_size
+    R = max(1, math.ceil(h / Tsz))
+    th, tw = tile_dims_cols(meta)
+    # source tile coords renamed: the output select aliases ttr/ttc BACK to
+    # tile_row/tile_col, and column references captured inside the strip
+    # lambda resolve against the PROJECTED schema (higher-order-function
+    # binding) — reusing the names would silently flip dr/dc to 0 there
+    # (found by the ring-vs-targeted message-equality test)
+    src = rf.df.select(
+        F.col("tile_row").alias("s_tr"), F.col("tile_col").alias("s_tc"),
+        th.alias("th"), tw.alias("tw"), "values",
+    )
+    tgt = F.broadcast(
+        targets.select(
+            F.col("tile_row").alias("ttr"), F.col("tile_col").alias("ttc")
+        ).distinct()
+    )
+    pairs = src.join(
+        tgt,
+        (F.abs(F.col("ttr") - F.col("s_tr")) <= R)
+        & (F.abs(F.col("ttc") - F.col("s_tc")) <= R),
+    )
+    drc = F.col("ttr") - F.col("s_tr")
+    dcc = F.col("ttc") - F.col("s_tc")
+    tth = F.least(F.lit(Tsz), F.lit(meta.height) - F.col("ttr") * Tsz)
+    ttw = F.least(F.lit(Tsz), F.lit(meta.width) - F.col("ttc") * Tsz)
+    r_lo = F.greatest(F.lit(0), drc * Tsz - h)
+    r_hi = F.least(F.col("th"), drc * Tsz + h + tth)
+    c_lo = F.greatest(F.lit(0), dcc * Tsz - h)
+    c_hi = F.least(F.col("tw"), dcc * Tsz + h + ttw)
+    n_rows = r_hi - r_lo
+    n_cols = c_hi - c_lo
+    tw_col = F.col("tw")
+    strip = F.flatten(
+        F.transform(
+            F.sequence(r_lo, r_hi - 1),
+            lambda r: F.slice(F.col("values"), r * tw_col + c_lo + 1, n_cols),
+        )
+    )
+    return pairs.filter((n_rows > 0) & (n_cols > 0)).select(
+        F.col("ttr").cast("int").alias("tile_row"),
+        F.col("ttc").cast("int").alias("tile_col"),
+        (F.col("s_tr") * Tsz + r_lo).cast("int").alias("gr0"),
+        (F.col("s_tc") * Tsz + c_lo).cast("int").alias("gc0"),
+        n_rows.cast("int").alias("n_rows"),
+        n_cols.cast("int").alias("n_cols"),
+        strip.alias("strip"),
+    )
+
+
 def stencil_apply(
     rf: RasterFrame,
     h: int,
     kernel: Callable[[np.ndarray, np.ndarray, tuple], np.ndarray],
     *,
     out_meta: RasterMeta | None = None,
+    targets: DataFrame | None = None,
+    n_targets: int | None = None,
 ) -> RasterFrame:
     """Run ``kernel(padded, valid_mask, (r0, c0, th, tw, h))`` per tile.
 
     ``padded`` is the (th+2h)×(tw+2h) window in float64 with NaN where no data was
     received (outside-grid or missing tiles); ``valid_mask`` marks cells inside the
     grid. The kernel returns the (th, tw) core. Halo must fit a tile (h ≤ T).
+
+    ``targets``: optional (tile_row, tile_col) set — only these tiles are
+    computed (the caller merges untouched tiles back). Message generation
+    picks the cheaper builder from driver-known bounds: the ring-offset
+    builder costs O(n_tiles·(2R+1)²) generated rows, the broadcast-join
+    targeted builder O(n_tiles·n_targets); ``n_targets`` supplies the bound
+    (unknown → targeted builder, the safe choice at large R).
     """
     meta = rf.meta
     Tsz = meta.tile_size
     H, W = meta.height, meta.width
     raster_id = rf.raster_id  # primitive capture — closures must not capture rf (DataFrame)
-    msgs = halo_messages(rf, h)
+    if targets is None:
+        msgs = halo_messages(rf, h)
+    else:
+        R = max(1, math.ceil(h / Tsz))
+        ring_cost = (2 * R + 1) ** 2
+        if n_targets is not None and ring_cost <= n_targets:
+            msgs = halo_messages(rf, h).join(
+                F.broadcast(targets.select("tile_row", "tile_col").distinct()),
+                ["tile_row", "tile_col"],
+                "left_semi",
+            )
+        else:
+            msgs = halo_messages_targeted(rf, h, targets)
 
     def assemble(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         tr, tc = int(key[0]), int(key[1])
@@ -346,6 +431,14 @@ def dilate(rf: RasterFrame, radius: float) -> RasterFrame:
     )
 
 
+# Remaining-NaN-tile count at which extrapolate's doubling loop jumps straight
+# to the full-grid proof radius: the one-shot targeted gather then ships at most
+# n_tiles × this many strips (every tile is a potential donor for each
+# remaining target) — the same driver-known-bound guard pattern as flagship's
+# BROADCAST_PARTIALS_MAX_ROWS. 256 targets × 32 KB tiles ≈ 8 MB/target ceiling.
+EXTRAPOLATE_DIRECT_MAX_TILES = 256
+
+
 def extrapolate(rf: RasterFrame, method: str = "nearest") -> RasterFrame:
     """NaN → nearest non-NaN by Euclidean index distance, ties → lowest (row, col)
     (reference src/rastr/raster.py:1290-1309 + arr/fill.py:11-32).
@@ -369,26 +462,53 @@ def extrapolate(rf: RasterFrame, method: str = "nearest") -> RasterFrame:
     # with a doubled proof radius. halo_messages supports h > T (multi-ring), so
     # the final radius covers the whole grid → exact for any sparsity. Typical
     # data (NaN runs ≪ T) resolves in round 1 with the cheap h=8 window.
+    #
+    # Scale shape of the loop (VERDICT r4 item 8): after round 1, only tiles
+    # that STILL contain NaN are recomputed (targets= pruning — a NaN-free tile
+    # is final, since fills use only original donors), so a round's shuffle and
+    # cached footprint track the remaining work, not the raster. Once the
+    # remaining-tile count drops to EXTRAPOLATE_DIRECT_MAX_TILES the loop jumps
+    # straight to the full-grid proof radius in ONE targeted round (message
+    # cost n_tiles · remaining — bounded by the guard) instead of paying
+    # log2(grid/h) more doubling rounds; with MANY distant-NaN tiles the jump
+    # would be the scale-killer (n_tiles² strips), so doubling continues.
     h = 8
-    max_h = max(meta.height, meta.width)
+    # full proof radius = the grid DIAGONAL: max(H, W) would leave a far
+    # corner unproven when the only donors sit in the opposite corner
+    # (distance up to √(H²+W²) — found by the single-corner-donor test)
+    max_h = int(math.ceil(math.hypot(meta.height, meta.width)))
     out = None
     prev_cached = None
+    targets = None
+    n_targets = None
+    has_nan = F.exists("values", lambda v: F.isnan(v))
     for _ in range(64):  # 2^64 cells ≫ any grid; loop exits via remaining == 0
-        out = stencil_apply(rf, h, make_kernel(h))
-        out = RasterFrame(out.df.cache(), out.meta, out.raster_id)
-        remaining = (
-            out.df.select(F.max(F.exists("values", lambda v: F.isnan(v)).cast("int")).alias("x"))
-            .collect()[0]["x"]
-            or 0
+        filled = stencil_apply(
+            rf, h, make_kernel(h), targets=targets, n_targets=n_targets
         )
-        # the .collect() above materialized this round's cache — the previous
+        if targets is None:
+            out = filled
+        else:
+            done = out.df.join(
+                F.broadcast(targets), ["tile_row", "tile_col"], "left_anti"
+            )
+            out = RasterFrame(done.unionByName(filled.df), meta, rf.raster_id)
+        out = RasterFrame(out.df.cache(), out.meta, out.raster_id)
+        flags = out.df.filter(has_nan).select("tile_row", "tile_col")
+        n_targets = flags.count()  # materializes this round's cache
+        # the count above materialized this round's cache — the previous
         # round's table is dead weight in executor storage memory from here on
         if prev_cached is not None:
             prev_cached.unpersist()
         prev_cached = out.df
-        if not remaining or h >= max_h:
+        if not n_targets or h >= max_h:
             break
-        h = min(h * 2, max_h)
+        targets = flags
+        h = (
+            max_h
+            if n_targets <= EXTRAPOLATE_DIRECT_MAX_TILES
+            else min(h * 2, max_h)
+        )
     return out
 
 

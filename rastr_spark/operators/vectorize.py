@@ -175,15 +175,14 @@ def _stitch(segs: list) -> list[np.ndarray]:
     return lines
 
 
-def contour_lines(rf: RasterFrame, levels, *, smoothing: bool = True) -> DataFrame:
-    """Distributed contour extraction → DataFrame (level, xs, ys), one row per
-    stitched world-space polyline (smoothed, degenerate-dropped).
+def contour_segments(rf: RasterFrame, levels) -> DataFrame:
+    """Per-tile marching-squares segment table (level, ra, ca, rb, cb) in
+    continuous index coordinates — the PRE-STITCH stage of contour_lines.
 
-    Plan shape: marching squares per tile (halo=1, every block owned by exactly
-    one tile) → ONE shuffle keyed by level → per-level stitch/smooth inside
-    ``applyInPandas`` (only that level's segments co-locate; stitch input is
-    O(isoline length)). Nothing touches the driver — chain ``contour`` for the
-    dissolved-Geometry convenience form.
+    Exposed separately so the distributed part of contouring (cross-tile
+    segment extraction over halo exchange) can be materialized and the stitch/
+    dissolve replayed independently (the artifact-oracle pattern); the kernel
+    itself (_block_segments) stays the only non-SQL step.
     """
     from .aggregates import rf_stats
 
@@ -226,9 +225,23 @@ def contour_lines(rf: RasterFrame, levels, *, smoothing: bool = True) -> DataFra
                 recs.append((level, ra, ca, rb, cb))
         return pd.DataFrame(recs, columns=["level", "ra", "ca", "rb", "cb"])
 
-    seg_df = msgs.groupBy("tile_row", "tile_col").applyInPandas(
+    return msgs.groupBy("tile_row", "tile_col").applyInPandas(
         extract, "level double, ra double, ca double, rb double, cb double"
     )
+
+
+def contour_lines(rf: RasterFrame, levels, *, smoothing: bool = True) -> DataFrame:
+    """Distributed contour extraction → DataFrame (level, xs, ys), one row per
+    stitched world-space polyline (smoothed, degenerate-dropped).
+
+    Plan shape: marching squares per tile (halo=1, every block owned by exactly
+    one tile) → ONE shuffle keyed by level → per-level stitch/smooth inside
+    ``applyInPandas`` (only that level's segments co-locate; stitch input is
+    O(isoline length)). Nothing touches the driver — chain ``contour`` for the
+    dissolved-Geometry convenience form.
+    """
+    meta = rf.meta
+    seg_df = contour_segments(rf, levels)
 
     t = meta.transform
     sm = bool(smoothing)

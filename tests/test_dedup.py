@@ -366,3 +366,73 @@ class TestSignatureArtifactValidation:
         )
         out = D.lsh_buckets_from_signatures(good, num_hashes=4, bands=2)
         assert out.count() == 4  # 2 ids × 2 bands
+
+
+class TestIncrementalDedup:
+    """build_dedup_index + incremental_dedup_assign: new shards assign against
+    the persisted index without re-shingling the corpus."""
+
+    def _text(self, i):
+        # distinct per-doc vocabulary: docs must NOT near-match each other
+        # (a shared template merges the whole corpus at threshold 0.5)
+        return f"document number{i} covers topic{i} subject{i * 7} item{i * 13} widget{i * 29} gadget{i * 31}"
+
+    def _index_docs(self, spark):
+        rows = [(i, self._text(i)) for i in range(20)]
+        rows += [(100 + i, self._text(i)) for i in range(5)]  # exact dups of 0-4
+        return _docs(spark, rows)
+
+    def test_three_match_kinds(self, spark, tmp_path):
+        idx_docs = self._index_docs(spark)
+        D.build_dedup_index(
+            idx_docs, index_dir=str(tmp_path / "ix"), n=2, num_hashes=8,
+            bands=4, threshold=0.5,
+        )
+        shard = _docs(spark, [
+            (500, self._text(3)),                                                                # exact → 3
+            (501, self._text(7) + " extra"),                                                     # near → 7
+            (502, "a totally fresh unmatched shard paper discussing unrelated themes entirely"), # new → self
+            (503, self._text(0)),                                                                # exact → 0 (dup'd text)
+        ])
+        out = {
+            r["doc_id"]: (r["canonical_id"], r["match_kind"])
+            for r in D.incremental_dedup_assign(
+                shard, idx_docs, index_dir=str(tmp_path / "ix"), n=2,
+                num_hashes=8, bands=4, threshold=0.5,
+            ).collect()
+        }
+        assert out[500] == (3, "exact")
+        assert out[501] == (7, "near")
+        assert out[502] == (502, "new")
+        assert out[503] == (0, "exact")  # canonical of the 0/100 exact group
+
+    def test_near_match_prefers_highest_jaccard(self, spark, tmp_path):
+        idx_docs = _docs(spark, [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta unrelated trailer"),
+        ])
+        D.build_dedup_index(
+            idx_docs, index_dir=str(tmp_path / "ix"), n=2, num_hashes=8,
+            bands=4, threshold=0.3,
+        )
+        shard = _docs(spark, [(900, "alpha beta gamma delta epsilon zeta eta theta iota")])
+        r = D.incremental_dedup_assign(
+            shard, idx_docs, index_dir=str(tmp_path / "ix"), n=2, num_hashes=8,
+            bands=4, threshold=0.3,
+        ).collect()[0]
+        # doc 1 overlaps on 7 of 9 grams vs doc 2's smaller overlap
+        assert r["canonical_id"] in (1, 2) and r["match_kind"] == "near"
+        assert r["canonical_id"] == 1
+
+    def test_mismatched_banding_fails_loudly(self, spark, tmp_path):
+        idx_docs = self._index_docs(spark)
+        D.build_dedup_index(
+            idx_docs, index_dir=str(tmp_path / "ix"), n=2, num_hashes=8,
+            bands=4, threshold=0.5,
+        )
+        shard = _docs(spark, [(800, "some new document text with enough words here")])
+        with pytest.raises(Exception, match="signature length"):
+            D.incremental_dedup_assign(
+                shard, idx_docs, index_dir=str(tmp_path / "ix"), n=2,
+                num_hashes=16, bands=4, threshold=0.5,
+            ).collect()

@@ -423,3 +423,143 @@ class TestNNFillKernelLargeRadius:
         t_scan = time.perf_counter() - t0
         np.testing.assert_array_equal(got, want)
         assert t_scan * 5 <= t_loop, f"scan {t_scan:.3f}s vs loop {t_loop:.3f}s"
+
+
+class TestTargetedHalo:
+    """halo_messages_targeted must produce exactly the ring-builder messages
+    restricted to the target set (different generator, identical messages) —
+    the late-round extrapolate scale path (VERDICT r4 item 8)."""
+
+    def _rf(self, spark):
+        import numpy as np
+
+        from rastr_spark.meta import Affine, RasterMeta
+        from rastr_spark.tiles import RasterFrame
+
+        rng = np.random.RandomState(5)
+        H = W = 48
+        arr = rng.rand(H, W)
+        meta = RasterMeta(1.0, "EPSG:2193", Affine(1, 0, 0, 0, -1, H), H, W, tile_size=16)
+        return RasterFrame.from_numpy(spark, arr, meta)
+
+    def test_messages_match_ring_builder(self, spark):
+        from rastr_spark.operators.stencils import halo_messages, halo_messages_targeted
+
+        rf = self._rf(spark)
+        targets = spark.createDataFrame(
+            [(0, 0), (1, 2), (2, 1)], "tile_row int, tile_col int"
+        )
+        for h in (3, 20, 48):  # within-tile, multi-ring, full-grid radii
+            ring = {
+                (r["tile_row"], r["tile_col"], r["gr0"], r["gc0"], r["n_rows"], r["n_cols"], tuple(r["strip"]))
+                for r in halo_messages(rf, h)
+                .join(targets, ["tile_row", "tile_col"], "left_semi")
+                .collect()
+            }
+            tgt = {
+                (r["tile_row"], r["tile_col"], r["gr0"], r["gc0"], r["n_rows"], r["n_cols"], tuple(r["strip"]))
+                for r in halo_messages_targeted(rf, h, targets).collect()
+            }
+            assert ring == tgt, f"h={h}"
+
+
+class TestExtrapolateCappedRounds:
+    def test_mostly_nan_exact_vs_brute(self, spark):
+        # sparse donors on a multi-tile grid: the loop's targeted rounds + the
+        # remaining-tile-gated jump to the full proof radius must stay EXACT
+        import numpy as np
+
+        from rastr_spark.meta import Affine, RasterMeta
+        from rastr_spark.operators.stencils import extrapolate
+        from rastr_spark.tiles import RasterFrame
+
+        rng = np.random.RandomState(3)
+        H = W = 64
+        arr = np.full((H, W), np.nan)
+        pts = rng.choice(H * W, 12, replace=False)
+        arr[pts // W, pts % W] = rng.rand(12) * 10
+        meta = RasterMeta(1.0, "EPSG:2193", Affine(1, 0, 0, 0, -1, H), H, W, tile_size=16)
+        out = extrapolate(RasterFrame.from_numpy(spark, arr, meta)).to_numpy()
+
+        donors = np.argwhere(~np.isnan(arr))
+        for r in range(H):
+            for c in range(W):
+                if not np.isnan(arr[r, c]):
+                    assert out[r, c] == arr[r, c]
+                    continue
+                d = (donors[:, 0] - r) ** 2 + (donors[:, 1] - c) ** 2
+                cand = donors[d == d.min()]
+                cand = cand[np.lexsort((cand[:, 1], cand[:, 0]))]
+                assert out[r, c] == arr[cand[0, 0], cand[0, 1]], (r, c)
+        assert not np.isnan(out).any()
+
+    def test_direct_jump_bounds_round_count(self, spark, monkeypatch):
+        # with the remaining-tile guard satisfied the loop must finish in 2
+        # stencil rounds (h=8, then the direct full-radius round) instead of
+        # log2(grid/8) doublings — counted via stencil_apply invocations
+        import numpy as np
+
+        import rastr_spark.operators.stencils as st
+        from rastr_spark.meta import Affine, RasterMeta
+        from rastr_spark.tiles import RasterFrame
+
+        calls = []
+        orig = st.stencil_apply
+
+        def spy(rf, h, kernel, **kw):
+            calls.append(h)
+            return orig(rf, h, kernel, **kw)
+
+        monkeypatch.setattr(st, "stencil_apply", spy)
+        H = W = 128
+        arr = np.full((H, W), np.nan)
+        arr[0, 0] = 7.0  # single donor: every cell's fill needs radius ≈ 181
+        meta = RasterMeta(1.0, "EPSG:2193", Affine(1, 0, 0, 0, -1, H), H, W, tile_size=16)
+        out = st.extrapolate(RasterFrame.from_numpy(spark, arr, meta)).to_numpy()
+        assert (out == 7.0).all()
+        # h=8 probe, then ONE direct full-radius round (ceil of the 128² diag)
+        assert calls == [8, 182], calls
+
+    def test_many_remaining_tiles_keep_doubling(self, spark, monkeypatch):
+        # above the guard the jump would be the scale-killer — doubling must
+        # continue (guard patched to 0 so ANY remaining count exceeds it)
+        import numpy as np
+
+        import rastr_spark.operators.stencils as st
+        from rastr_spark.meta import Affine, RasterMeta
+        from rastr_spark.tiles import RasterFrame
+
+        calls = []
+        orig = st.stencil_apply
+
+        def spy(rf, h, kernel, **kw):
+            calls.append(h)
+            return orig(rf, h, kernel, **kw)
+
+        monkeypatch.setattr(st, "stencil_apply", spy)
+        monkeypatch.setattr(st, "EXTRAPOLATE_DIRECT_MAX_TILES", 0)
+        H = W = 64
+        arr = np.full((H, W), np.nan)
+        arr[0, 0] = 7.0
+        meta = RasterMeta(1.0, "EPSG:2193", Affine(1, 0, 0, 0, -1, H), H, W, tile_size=16)
+        out = st.extrapolate(RasterFrame.from_numpy(spark, arr, meta)).to_numpy()
+        assert (out == 7.0).all()
+        # pure doubling capped at the diagonal proof radius, no jump
+        assert calls == [8, 16, 32, 64, 91], calls
+
+    def test_single_corner_donor_fills_entire_grid(self, spark):
+        # regression: the proof radius must reach the grid DIAGONAL — with
+        # max(H, W) a lone corner donor left the far corner NaN (820 cells on
+        # this 64² grid before the fix)
+        import numpy as np
+
+        from rastr_spark.meta import Affine, RasterMeta
+        from rastr_spark.operators.stencils import extrapolate
+        from rastr_spark.tiles import RasterFrame
+
+        H = W = 64
+        arr = np.full((H, W), np.nan)
+        arr[0, 0] = 7.0
+        meta = RasterMeta(1.0, "EPSG:2193", Affine(1, 0, 0, 0, -1, H), H, W, tile_size=16)
+        out = extrapolate(RasterFrame.from_numpy(spark, arr, meta)).to_numpy()
+        assert (out == 7.0).all()

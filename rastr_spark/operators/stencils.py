@@ -191,6 +191,7 @@ def stencil_apply(
     out_meta: RasterMeta | None = None,
     targets: DataFrame | None = None,
     n_targets: int | None = None,
+    clip_to_grid: bool = False,
 ) -> RasterFrame:
     """Run ``kernel(padded, valid_mask, (r0, c0, th, tw, h))`` per tile.
 
@@ -204,6 +205,17 @@ def stencil_apply(
     builder costs O(n_tiles·(2R+1)²) generated rows, the broadcast-join
     targeted builder O(n_tiles·n_targets); ``n_targets`` supplies the bound
     (unknown → targeted builder, the safe choice at large R).
+
+    ``clip_to_grid``: allocate only the window ∩ grid instead of the full
+    (th+2h)×(tw+2h) square — at h approaching the raster span the unclipped
+    allocation is (2h)² ≈ 4× the whole raster PER TILE (measured: the 16.8M
+    cell extrapolate bench OOM'd the JVM at h=5793); clipped it is bounded by
+    the raster's own footprint. The kernel then receives a 7-tuple info
+    ``(r0, c0, th, tw, h, top, left)`` where (top, left) is the core's offset
+    inside the clipped window, and an all-true valid mask (the window is
+    entirely in-grid). Only kernels that understand the 7-tuple may set this
+    (extrapolate's two-pass NN path); reflect-padding kernels (blur/sobel)
+    need the full square.
     """
     meta = rf.meta
     Tsz = meta.tile_size
@@ -223,23 +235,38 @@ def stencil_apply(
         else:
             msgs = halo_messages_targeted(rf, h, targets)
 
+    clip = bool(clip_to_grid)
+
     def assemble(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         tr, tc = int(key[0]), int(key[1])
         r0, c0 = tr * Tsz, tc * Tsz
         th_, tw_ = min(Tsz, H - r0), min(Tsz, W - c0)
-        padded = np.full((th_ + 2 * h, tw_ + 2 * h), np.nan)
+        if clip:
+            rs, re = max(r0 - h, 0), min(r0 + th_ + h, H)
+            cs, ce = max(c0 - h, 0), min(c0 + tw_ + h, W)
+        else:
+            rs, re = r0 - h, r0 + th_ + h
+            cs, ce = c0 - h, c0 + tw_ + h
+        padded = np.full((re - rs, ce - cs), np.nan)
         for gr0, gc0, n_rows, n_cols, strip in zip(
             pdf["gr0"].to_numpy(), pdf["gc0"].to_numpy(),
             pdf["n_rows"].to_numpy(), pdf["n_cols"].to_numpy(), pdf["strip"].to_numpy(),
         ):
-            rr = int(gr0) - (r0 - h)
-            cc = int(gc0) - (c0 - h)
+            rr = int(gr0) - rs
+            cc = int(gc0) - cs
             frag = np.asarray(strip, dtype=np.float64).reshape(int(n_rows), int(n_cols))
             padded[rr : rr + frag.shape[0], cc : cc + frag.shape[1]] = frag
-        rows = np.arange(r0 - h, r0 + th_ + h)[:, None]
-        cols = np.arange(c0 - h, c0 + tw_ + h)[None, :]
-        valid = (rows >= 0) & (rows < H) & (cols >= 0) & (cols < W)
-        core = kernel(padded, np.broadcast_to(valid, padded.shape), (r0, c0, th_, tw_, h))
+        if clip:
+            valid = np.ones(padded.shape, dtype=bool)
+            info = (r0, c0, th_, tw_, h, r0 - rs, c0 - cs)
+        else:
+            rows = np.arange(rs, re)[:, None]
+            cols = np.arange(cs, ce)[None, :]
+            valid = np.broadcast_to(
+                (rows >= 0) & (rows < H) & (cols >= 0) & (cols < W), padded.shape
+            )
+            info = (r0, c0, th_, tw_, h)
+        core = kernel(padded, valid, info)
         from ..grid import morton_encode
 
         return pd.DataFrame(
@@ -431,12 +458,18 @@ def dilate(rf: RasterFrame, radius: float) -> RasterFrame:
     )
 
 
-# Remaining-NaN-tile count at which extrapolate's doubling loop jumps straight
-# to the full-grid proof radius: the one-shot targeted gather then ships at most
-# n_tiles × this many strips (every tile is a potential donor for each
-# remaining target) — the same driver-known-bound guard pattern as flagship's
-# BROADCAST_PARTIALS_MAX_ROWS. 256 targets × 32 KB tiles ≈ 8 MB/target ceiling.
+# Remaining-NaN-tile count at which extrapolate's doubling loop switches from
+# ×2 to ×EXTRAPOLATE_DIRECT_JUMP radius growth — the same driver-known-bound
+# guard pattern as flagship's BROADCAST_PARTIALS_MAX_ROWS. The jump is
+# GEOMETRIC, not one-shot-to-max: a direct leap to the full diagonal radius
+# overshoots the actual donor distance by orders of magnitude, and even with
+# grid-clipped windows pays whole-raster gathers per remaining tile for
+# nothing (measured: the 16.8M-cell bench needed radius ~181 after its h=128
+# round; the one-shot jump to 5793 OOM'd the JVM). ×8 reaches any true radius
+# in ≤ log8 extra rounds while never gathering more than ~64× the proven-
+# insufficient window.
 EXTRAPOLATE_DIRECT_MAX_TILES = 256
+EXTRAPOLATE_DIRECT_JUMP = 8
 
 
 def extrapolate(rf: RasterFrame, method: str = "nearest") -> RasterFrame:
@@ -467,11 +500,12 @@ def extrapolate(rf: RasterFrame, method: str = "nearest") -> RasterFrame:
     # that STILL contain NaN are recomputed (targets= pruning — a NaN-free tile
     # is final, since fills use only original donors), so a round's shuffle and
     # cached footprint track the remaining work, not the raster. Once the
-    # remaining-tile count drops to EXTRAPOLATE_DIRECT_MAX_TILES the loop jumps
-    # straight to the full-grid proof radius in ONE targeted round (message
-    # cost n_tiles · remaining — bounded by the guard) instead of paying
-    # log2(grid/h) more doubling rounds; with MANY distant-NaN tiles the jump
-    # would be the scale-killer (n_tiles² strips), so doubling continues.
+    # remaining-tile count drops to EXTRAPOLATE_DIRECT_MAX_TILES the radius
+    # grows ×EXTRAPOLATE_DIRECT_JUMP per round instead of ×2 (targeted message
+    # cost n_tiles · remaining — bounded by the guard), reaching the full
+    # proof radius in O(log8) rounds without ever gathering wildly more window
+    # than needed; with MANY distant-NaN tiles the accelerated jump would be
+    # the scale-killer (n_tiles² strips), so plain doubling continues there.
     h = 8
     # full proof radius = the grid DIAGONAL: max(H, W) would leave a far
     # corner unproven when the only donors sit in the opposite corner
@@ -484,7 +518,11 @@ def extrapolate(rf: RasterFrame, method: str = "nearest") -> RasterFrame:
     has_nan = F.exists("values", lambda v: F.isnan(v))
     for _ in range(64):  # 2^64 cells ≫ any grid; loop exits via remaining == 0
         filled = stencil_apply(
-            rf, h, make_kernel(h), targets=targets, n_targets=n_targets
+            rf, h, make_kernel(h), targets=targets, n_targets=n_targets,
+            # large radii switch to the two-pass kernel, which accepts the
+            # grid-clipped window — bounding per-tile memory by the raster
+            # footprint instead of (2h)² (h can reach the grid diagonal)
+            clip_to_grid=h > 32,
         )
         if targets is None:
             out = filled
@@ -504,11 +542,12 @@ def extrapolate(rf: RasterFrame, method: str = "nearest") -> RasterFrame:
         if not n_targets or h >= max_h:
             break
         targets = flags
-        h = (
-            max_h
+        grow = (
+            EXTRAPOLATE_DIRECT_JUMP
             if n_targets <= EXTRAPOLATE_DIRECT_MAX_TILES
-            else min(h * 2, max_h)
+            else 2
         )
+        h = min(h * grow, max_h)
     return out
 
 
@@ -519,8 +558,15 @@ def _nn_fill_kernel(h):
     :func:`extrapolate`)."""
 
     def kern(padded, valid, info):
-        r0, c0, th, tw, h_ = info
-        core = padded[h_ : h_ + th, h_ : h_ + tw]
+        # 5-tuple = full (th+2h)×(tw+2h) window (core offset = h);
+        # 7-tuple = grid-clipped window with explicit core offsets (the
+        # large-radius memory path — see stencil_apply clip_to_grid)
+        if len(info) == 7:
+            r0, c0, th, tw, h_, top, left = info
+        else:
+            r0, c0, th, tw, h_ = info
+            top = left = h_
+        core = padded[top : top + th, left : left + tw]
         out = core.copy()
         nan_mask = np.isnan(core)
         if not nan_mask.any() or np.isnan(padded).all():
@@ -544,7 +590,7 @@ def _nn_fill_kernel(h):
             for _, dy, dx in offs:
                 if not pend.any():
                     break
-                cand = padded[h_ + dy : h_ + dy + th, h_ + dx : h_ + dx + tw]
+                cand = padded[top + dy : top + dy + th, left + dx : left + dx + tw]
                 take = pend & ~np.isnan(cand)
                 out[take] = cand[take]
                 pend &= ~take
@@ -577,8 +623,8 @@ def _nn_fill_kernel(h):
             row_nan = nan_mask[i]
             if not row_nan.any():
                 continue
-            r = i + h_
-            cc = (np.nonzero(row_nan)[0] + h_)[:, None]
+            r = i + top
+            cc = (np.nonzero(row_nan)[0] + left)[:, None]
             dc = cc - cols[None, :]
             tot = dr2[r][None, :] + dc * dc
             best = tot.min(axis=1)

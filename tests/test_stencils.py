@@ -517,8 +517,9 @@ class TestExtrapolateCappedRounds:
         meta = RasterMeta(1.0, "EPSG:2193", Affine(1, 0, 0, 0, -1, H), H, W, tile_size=16)
         out = st.extrapolate(RasterFrame.from_numpy(spark, arr, meta)).to_numpy()
         assert (out == 7.0).all()
-        # h=8 probe, then ONE direct full-radius round (ceil of the 128² diag)
-        assert calls == [8, 182], calls
+        # h=8 probe, then ×8 accelerated rounds capped at the 128² diagonal
+        # (182) — never log2(grid/8) plain doublings
+        assert calls == [8, 64, 182], calls
 
     def test_many_remaining_tiles_keep_doubling(self, spark, monkeypatch):
         # above the guard the jump would be the scale-killer — doubling must

@@ -32,7 +32,14 @@ import rastr_spark  # noqa: F401 — attaches operator surface
 from rastr_spark.functions import dedup as D
 from rastr_spark.functions import similarity as S
 from rastr_spark.functions import text as TXT
-from rastr_spark.functions.multimodal import decoded_pixels, image_features, synthesize_media
+from rastr_spark.functions.multimodal import (
+    audio_features,
+    decoded_pixels,
+    decoded_samples,
+    image_features,
+    synthesize_media,
+    synthesize_media_lossless,
+)
 from rastr_spark.geometry import Geometry
 from rastr_spark.meta import Affine, RasterMeta
 from rastr_spark.operators.aggregates import tile_partials
@@ -1804,6 +1811,82 @@ HAVING (SELECT count(*) FROM px) = 100
 """
 
 
+def _q_png_features(spark, sf_dir):
+    """image_features over REAL PNG payloads — no fake decoder anywhere: the
+    media table carries actual PNG bytes (pure-stdlib encoder, filter types
+    cycling 0-4), the production mapInPandas path decodes them with the
+    pure-stdlib PNG codec (functions/codecs.py), and the decoded-PIXEL
+    artifact lets DuckDB replay the grid pooling + feature arithmetic in
+    float32-exact SQL. Together with the codec round-trip tests this verifies
+    the whole real-decode pipeline: encode → Spark decode → pooled features
+    all hash-checked."""
+    media = synthesize_media_lossless(spark, 200)
+    decoded_pixels(media, fake_decode=False).write.mode("overwrite").parquet(
+        f"{_ORACLE_ART_DIR}/png_pixels"
+    )
+    feats = image_features(media, grid=4, fake_decode=False)
+    return feats.select(
+        "media_id",
+        F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x.cast("double")), 6).alias("feat_sum"),
+        F.size("feature").alias("feat_dim"),
+    )
+
+
+_ORACLE_PNG_FEATURES = f"""
+WITH px AS (SELECT * FROM read_parquet('{_ORACLE_ART_DIR}/png_pixels/*.parquet')),
+flat AS (
+  SELECT media_id, unnest(range(0, len(pix))) AS i, unnest(pix) AS v FROM px
+),
+cell AS (
+  SELECT media_id, (i // 48) // 4 AS a, ((i // 3) % 16) // 4 AS b,
+         CAST(CAST(sum(v) / 48.0 AS REAL) / 255.0 AS REAL) AS f
+  FROM flat GROUP BY 1, 2, 3
+)
+SELECT media_id, round(sum(CAST(f AS DOUBLE)), 6) AS feat_sum, CAST(16 AS INT) AS feat_dim
+FROM cell
+GROUP BY media_id
+HAVING (SELECT count(*) FROM px) = 100
+   AND (SELECT min(len(pix)) || '/' || max(len(pix)) FROM px) = '768/768'
+"""
+
+
+def _q_wav_features(spark, sf_dir):
+    """audio_features over REAL RIFF/WAVE payloads — no fake decoder: the media
+    table carries actual PCM16 WAV bytes, the production mapInPandas path
+    decodes them with the pure-stdlib WAV codec (functions/codecs.py), and the
+    decoded-PCM artifact lets DuckDB replay the window-RMS arithmetic
+    BIT-EXACTLY: samples are k/2^15 (≤16 mantissa bits), so v*v is exact in
+    double and the 256-term window sum stays ≤40 bits — order-independent exact
+    — then sqrt→float32 rounds identically in both engines. No rounding in the
+    compared values at all."""
+    media = synthesize_media_lossless(spark, 200)
+    decoded_samples(media, 2048, fake_decode=False).write.mode("overwrite").parquet(
+        f"{_ORACLE_ART_DIR}/wav_pcm"
+    )
+    feats = audio_features(media, n_windows=8, window_samples=256, fake_decode=False)
+    return feats.select("media_id", F.posexplode("feature")).select(
+        "media_id",
+        F.col("pos").cast("int").alias("win_idx"),
+        F.col("col").cast("double").alias("rms"),
+    )
+
+
+_ORACLE_WAV_FEATURES = f"""
+WITH pcm AS (SELECT * FROM read_parquet('{_ORACLE_ART_DIR}/wav_pcm/*.parquet')),
+flat AS (
+  SELECT media_id, unnest(range(0, len(samples))) AS i, unnest(samples) AS v FROM pcm
+),
+win AS (
+  SELECT media_id, CAST(i // 256 AS INT) AS win_idx,
+         CAST(CAST(sqrt(sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) / 256.0) AS REAL) AS DOUBLE) AS rms
+  FROM flat GROUP BY 1, 2
+)
+SELECT media_id, win_idx, rms FROM win
+WHERE (SELECT count(*) FROM pcm) = 100
+  AND (SELECT min(len(samples)) || '/' || max(len(samples)) FROM pcm) = '2048/2048'
+"""
+
+
 def _q_media_neardup(spark, sf_dir):
     """Document-level media dedup COMPOSITION (pipeline-level evidence for the
     multimodal family): synthesized media table with planted duplicate payloads
@@ -1933,6 +2016,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # is outside the replay):
         "multimodal_image_features": _q_multimodal_features,
         "multimodal_media_neardup": _q_media_neardup,
+        # REAL codecs (pure-stdlib PNG/WAV, functions/codecs.py): production
+        # decode path end-to-end with no fake decoder anywhere; the decoded
+        # pixel/PCM artifact lets SQL replay everything downstream of the codec
+        "multimodal_png_features": _q_png_features,
+        "multimodal_wav_features": _q_wav_features,
         # oracle-verified via the materialized pre-stitch segment artifact
         # (stitch connectivity replayed as a recursive CTE; only the
         # marching-squares kernel itself is outside the replay):
@@ -1985,6 +2073,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_hamming": _ORACLE_SIMHASH_HAMMING,
         "multimodal_image_features": _ORACLE_MM_FEATURES,
         "multimodal_media_neardup": _media_neardup_oracle(),
+        "multimodal_png_features": _ORACLE_PNG_FEATURES,
+        "multimodal_wav_features": _ORACLE_WAV_FEATURES,
         "raster_contour_summary": _contour_oracle(),
         "dedup_incremental": _incremental_oracle(),
     }

@@ -1,0 +1,251 @@
+"""Pure-stdlib lossless media codecs: PNG (DEFLATE via zlib) and WAV (PCM).
+
+This container has no PIL/libjpeg/libsndfile, so lossy formats (JPEG, MP3)
+stay honestly stubbed in multimodal.py — but PNG's only compression is
+DEFLATE (stdlib ``zlib``) and WAV PCM is plain struct layout, so the LOSSLESS
+half of the decode boundary is implementable clean-room from the published
+format specs (PNG: RFC 2083 / ISO 15948; WAV: RIFF WAVE). That upgrades the
+multimodal family's decode step from "deterministic fake" to a real codec for
+the formats a training-data pipeline controls end-to-end (synthetic renders,
+screenshots, TTS output are typically archived lossless).
+
+Scope (rejections are loud, never silent garbage):
+
+- PNG decode: bit depth 8; color types 0 (gray), 2 (RGB), 3 (palette),
+  4 (gray+alpha), 6 (RGBA); all five scanline filters (None/Sub/Up/Average/
+  Paeth); no interlacing (Adam7 raises), no 1/2/4/16-bit depths (raise).
+- PNG encode: gray/RGB/RGBA uint8, any of the five filters (fixed per image)
+  — exercising encode at every filter type round-trips the decoder's whole
+  unfilter surface.
+- WAV decode: PCM 8/16/32-bit int and 32-bit IEEE float, any channel count →
+  float32 in [-1, 1), channel-interleaved frames averaged to mono.
+- WAV encode: mono PCM16.
+
+Per-row unfiltering is numpy-vectorized where the filter allows (Up is a
+row-add; Sub is a per-channel-offset cumulative sum — prefix sums mod 256)
+and a per-pixel loop only where the spec forces serial dependence through
+the reconstructed left neighbour (Average, Paeth).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type → samples/pixel (pre-palette)
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes → (height, width, channels) uint8 (palette expanded to RGB)."""
+    if data[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    width = height = None
+    bit_depth = color_type = interlace = None
+    palette = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + CRC (CRC not verified)
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", chunk
+            )
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(chunk, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.extend(chunk)
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if bit_depth != 8:
+        raise NotImplementedError(f"PNG bit depth {bit_depth} unsupported (only 8)")
+    if interlace != 0:
+        raise NotImplementedError("interlaced (Adam7) PNG unsupported")
+    if color_type not in _CHANNELS:
+        raise NotImplementedError(f"PNG color type {color_type} unsupported")
+    nch = _CHANNELS[color_type]
+    raw = zlib.decompress(bytes(idat))
+    stride = width * nch
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG IDAT size mismatch")
+    raw = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    filters = raw[:, 0]
+    lines = raw[:, 1:].astype(np.int32)
+    out = np.zeros((height, stride), dtype=np.int32)
+    bpp = nch  # bytes per pixel (bit depth 8)
+    for y in range(height):
+        f = int(filters[y])
+        cur = lines[y]
+        prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.int32)
+        if f == 0:  # None
+            rec = cur
+        elif f == 1:  # Sub: prefix sums per channel offset
+            rec = cur.copy()
+            for j in range(bpp):
+                rec[j::bpp] = np.cumsum(rec[j::bpp]) % 256
+        elif f == 2:  # Up
+            rec = (cur + prev) % 256
+        elif f == 3:  # Average — serial through reconstructed left
+            rec = cur.copy()
+            for i in range(stride):
+                left = rec[i - bpp] if i >= bpp else 0
+                rec[i] = (rec[i] + (left + prev[i]) // 2) % 256
+        elif f == 4:  # Paeth — serial through reconstructed left
+            rec = cur.copy()
+            for i in range(stride):
+                a = rec[i - bpp] if i >= bpp else 0
+                c = prev[i - bpp] if i >= bpp else 0
+                rec[i] = (rec[i] + _paeth(int(a), int(prev[i]), int(c))) % 256
+        else:
+            raise ValueError(f"PNG filter type {f} invalid")
+        out[y] = rec % 256
+    img = out.astype(np.uint8).reshape(height, width, nch)
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("palette PNG missing PLTE")
+        img = palette[img[:, :, 0]]
+    return img
+
+
+def _filter_row(cur: np.ndarray, prev: np.ndarray, bpp: int, f: int) -> np.ndarray:
+    """Forward filter (encoder side) — exact inverse of the decoder's unfilter."""
+    cur = cur.astype(np.int32)
+    prev = prev.astype(np.int32)
+    n = len(cur)
+    left = np.zeros(n, dtype=np.int32)
+    left[bpp:] = cur[:-bpp]
+    upleft = np.zeros(n, dtype=np.int32)
+    upleft[bpp:] = prev[:-bpp]
+    if f == 0:
+        out = cur
+    elif f == 1:
+        out = cur - left
+    elif f == 2:
+        out = cur - prev
+    elif f == 3:
+        out = cur - (left + prev) // 2
+    elif f == 4:
+        pa = np.abs(prev - upleft)  # |p - a| where p = left + prev - upleft
+        pb = np.abs(left - upleft)
+        pc = np.abs(left + prev - 2 * upleft)
+        pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft))
+        out = cur - pred
+    else:
+        raise ValueError(f"filter type {f} invalid")
+    return (out % 256).astype(np.uint8)
+
+
+def encode_png(img: np.ndarray, *, filter_type: int = 0, compress_level: int = 6) -> bytes:
+    """(h, w) or (h, w, c) uint8 (c ∈ {1, 2, 3, 4}) → PNG bytes."""
+    img = np.asarray(img)
+    if img.dtype != np.uint8:
+        raise TypeError("encode_png requires uint8")
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}.get(c)
+    if color_type is None:
+        raise ValueError(f"unsupported channel count {c}")
+    flat = img.reshape(h, w * c)
+    rows = []
+    prev = np.zeros(w * c, dtype=np.uint8)
+    for y in range(h):
+        rows.append(bytes([filter_type]) + _filter_row(flat[y], prev, c, filter_type).tobytes())
+        prev = flat[y]
+    compressed = zlib.compress(b"".join(rows), compress_level)
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + ctype
+            + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", compressed)
+        + chunk(b"IEND", b"")
+    )
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF PCM)
+# ---------------------------------------------------------------------------
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes → (mono float32 samples in [-1, 1), sample_rate).
+
+    Multi-channel frames are averaged to mono (the standard feature-extraction
+    front end); PCM 8-bit is unsigned per the spec, 16/32-bit signed,
+    format 3 = IEEE float32.
+    """
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    fmt = None
+    samples = None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (length,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        chunk = data[pos + 8 : pos + 8 + length]
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+        if cid == b"fmt ":
+            audio_fmt, n_ch, rate, _br, _ba, bits = struct.unpack("<HHIIHH", chunk[:16])
+            fmt = (audio_fmt, n_ch, rate, bits)
+        elif cid == b"data":
+            samples = chunk
+    if fmt is None or samples is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, n_ch, rate, bits = fmt
+    if audio_fmt == 1 and bits == 16:
+        x = np.frombuffer(samples, dtype="<i2").astype(np.float32) / 32768.0
+    elif audio_fmt == 1 and bits == 32:
+        x = np.frombuffer(samples, dtype="<i4").astype(np.float32) / 2147483648.0
+    elif audio_fmt == 1 and bits == 8:
+        x = (np.frombuffer(samples, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif audio_fmt == 3 and bits == 32:
+        x = np.frombuffer(samples, dtype="<f4").astype(np.float32)
+    else:
+        raise NotImplementedError(f"WAV format {audio_fmt}/{bits}-bit unsupported")
+    if n_ch > 1:
+        x = x[: len(x) - len(x) % n_ch].reshape(-1, n_ch).mean(axis=1).astype(np.float32)
+    return x, rate
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Mono float samples in [-1, 1] → PCM16 WAV bytes (values clipped)."""
+    x = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 32767.0 / 32768.0)
+    pcm = np.round(x * 32768.0).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(pcm))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(pcm))
+        + pcm
+    )

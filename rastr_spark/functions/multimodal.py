@@ -2,11 +2,16 @@
 
 Media payloads are opaque ``binary`` columns + typed metadata structs; all
 decode/resize/frame-sample kernels run as Arrow-batched ``mapInPandas`` stages so
-the Spark-side contract (schema, partitioning, batch shape) is real and tested even
-though the codec libraries are absent in this container — the decode step itself is
-STUBBED: ``decode_image`` raises NotImplementedError unless ``fake=True``, in which
-case a deterministic fake decoder (seeded from the bytes) produces stable
-pseudo-pixels so downstream feature extraction is exercisable end-to-end.
+the Spark-side contract (schema, partitioning, batch shape) is real and tested.
+
+The decode boundary is REAL for lossless formats: PNG and RIFF/WAVE payloads are
+sniffed by signature and decoded with the pure-stdlib codecs in
+``functions/codecs.py`` (DEFLATE lives in stdlib zlib; WAV PCM is plain struct
+layout). Lossy formats (JPEG/MP3/...) stay honestly STUBBED — their codec
+libraries are absent in this container — raising NotImplementedError unless
+``fake=True``, in which case a deterministic fake decoder (seeded from the
+bytes) produces stable pseudo-pixels/PCM so downstream feature extraction is
+exercisable end-to-end for arbitrary payloads.
 """
 
 from __future__ import annotations
@@ -50,14 +55,24 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def decode_image(payload: bytes, width: int, height: int, channels: int, *, fake: bool = False) -> np.ndarray:
-    """STUB: real decode requires PIL/libjpeg (absent in this container).
+    """Decode an image payload to (height, width, channels) uint8.
 
-    fake=True → deterministic pseudo-pixels seeded from sha256(payload): stable
-    across runs/executors, shaped (height, width, channels) uint8.
+    REAL decode for PNG (sniffed by signature) via the pure-stdlib codec
+    (functions/codecs.py — DEFLATE lives in stdlib zlib, so no external lib is
+    needed); the decoded file's own dimensions win over the metadata hints.
+    Lossy formats (JPEG etc.) remain STUBBED — their codecs (PIL/libjpeg) are
+    absent in this container — and raise unless ``fake=True``, in which case a
+    deterministic fake decoder (seeded from sha256(payload)) produces stable
+    pseudo-pixels shaped by the metadata.
     """
+    from .codecs import PNG_MAGIC, decode_png
+
+    if payload and bytes(payload[:8]) == PNG_MAGIC:
+        return decode_png(bytes(payload))
     if not fake:
         raise NotImplementedError(
-            "image decode requires an image codec library not present in this environment; "
+            "only PNG decode is available without external codec libraries "
+            "(lossy formats need PIL/libjpeg, absent in this environment); "
             "pass fake=True for the deterministic test decoder"
         )
     seed = int.from_bytes(hashlib.sha256(payload or b"").digest()[:8], "big")
@@ -84,6 +99,7 @@ def image_features(media: DataFrame, *, grid: int = 4, fake_decode: bool = True)
                 h = int(m["height"] or 16)
                 c = int(m["channels"] or 3)
                 img = decode_image(payload, w, h, c, fake=fake_decode).astype(np.float32)
+                h, w, c = img.shape  # decoded file's own dims win (real codecs)
                 gh, gw = max(1, h // grid), max(1, w // grid)
                 img = img[: gh * grid, : gw * grid]
                 pooled = img.reshape(grid, gh, grid, gw, c).mean(axis=(1, 3, 4))
@@ -125,7 +141,7 @@ def decoded_pixels(media: DataFrame, *, fake_decode: bool = True) -> DataFrame:
                 c = int(m["channels"] or 3)
                 img = decode_image(payload, w, h, c, fake=fake_decode)
                 ids.append(mid)
-                pixes.append(img.ravel().astype(np.int32))
+                pixes.append(img.ravel().astype(np.int32))  # actual decoded dims
             yield pd.DataFrame({"media_id": ids, "pix": pixes})
 
     return media.filter(F.col("kind") == "image").select("media_id", "payload", "meta").mapInPandas(
@@ -133,14 +149,53 @@ def decoded_pixels(media: DataFrame, *, fake_decode: bool = True) -> DataFrame:
     )
 
 
-def decode_audio(payload: bytes, n_samples: int, *, fake: bool = False) -> np.ndarray:
-    """STUB: real decode requires an audio codec (absent in this container).
+SAMPLES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("samples", T.ArrayType(T.FloatType()), False),
+    ]
+)
 
-    fake=True → deterministic pseudo-PCM float32 in [-1, 1) seeded from
-    sha256(payload), length ``n_samples`` — stable across runs/executors."""
+
+def decoded_samples(media: DataFrame, n_samples: int, *, fake_decode: bool = True) -> DataFrame:
+    """Materializes the audio decode boundary (analog of ``decoded_pixels``):
+    (media_id, float32 PCM array of length ``n_samples``) for every audio row.
+    Written to parquet by the oracle harness so window-RMS arithmetic can be
+    replayed independently downstream of the codec."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, arrs = [], []
+            for mid, payload in zip(pdf["media_id"].to_numpy(), pdf["payload"].to_numpy()):
+                ids.append(mid)
+                arrs.append(decode_audio(payload, n_samples, fake=fake_decode))
+            yield pd.DataFrame({"media_id": ids, "samples": arrs})
+
+    return media.filter(F.col("kind") == "audio").select("media_id", "payload").mapInPandas(
+        run, SAMPLES_SCHEMA
+    )
+
+
+def decode_audio(payload: bytes, n_samples: int, *, fake: bool = False) -> np.ndarray:
+    """Decode an audio payload to float32 PCM of length ``n_samples``.
+
+    REAL decode for RIFF/WAVE (sniffed by signature) via the pure-stdlib codec
+    (functions/codecs.py): PCM 8/16/32-bit and IEEE float32, multi-channel
+    mixed to mono, truncated/zero-padded to ``n_samples`` (deterministic fixed-
+    length contract for windowed features). Compressed formats (MP3/AAC/OGG)
+    remain STUBBED — no codec libs in this container — and raise unless
+    ``fake=True`` (deterministic pseudo-PCM seeded from sha256(payload))."""
+    if payload and bytes(payload[:4]) == b"RIFF":
+        from .codecs import decode_wav
+
+        x, _rate = decode_wav(bytes(payload))
+        if len(x) >= n_samples:
+            return x[:n_samples]
+        return np.pad(x, (0, n_samples - len(x)))
     if not fake:
         raise NotImplementedError(
-            "audio decode requires an audio codec library not present in this environment; "
+            "only WAV decode is available without external codec libraries "
+            "(compressed audio needs libsndfile/ffmpeg, absent in this environment); "
             "pass fake=True for the deterministic test decoder"
         )
     seed = int.from_bytes(hashlib.sha256(payload or b"").digest()[8:16], "big")
@@ -165,7 +220,11 @@ def audio_features(
             ids, feats = [], []
             for mid, payload in zip(pdf["media_id"].to_numpy(), pdf["payload"].to_numpy()):
                 pcm = decode_audio(payload, total, fake=fake_decode)
-                w = pcm.reshape(n_windows, window_samples)
+                # float64 accumulation: PCM16-derived samples are k/2^15 (≤16
+                # mantissa bits), so products are exact in double and a 256-term
+                # window sum stays ≤40 bits — exact regardless of summation
+                # order, which makes the RMS bit-reproducible by any engine.
+                w = pcm.reshape(n_windows, window_samples).astype(np.float64)
                 feats.append(np.sqrt((w * w).mean(axis=1)).astype(np.float32))
                 ids.append(mid)
             yield pd.DataFrame({"media_id": ids, "feature": feats})
@@ -215,6 +274,7 @@ def image_resize(
                 h0 = int(m["height"] or 16)
                 c = int(m["channels"] or 3)
                 img = decode_image(payload, w0, h0, c, fake=fake_decode)
+                h0, w0, c = img.shape  # decoded file's own dims win
                 rows = (np.arange(height) * h0 // height).clip(0, h0 - 1)
                 cols = (np.arange(width) * w0 // width).clip(0, w0 - 1)
                 out = img[rows][:, cols]
@@ -244,6 +304,44 @@ def frame_sample(media: DataFrame, *, every_n: int = 10) -> DataFrame:
             ).alias("frame_idx"),
         )
     )
+
+
+def synthesize_media_lossless(
+    spark, n: int, *, seed: int = 42, width: int = 16, height: int = 16,
+    n_samples: int = 2048, sample_rate: int = 16000,
+) -> DataFrame:
+    """Deterministic media table with REAL lossless payloads: images are PNG
+    bytes (encoded with the pure-stdlib codec, filter cycling through all five
+    types so every unfilter path is exercised in the wild) and audio is PCM16
+    WAV. Generated distributively via mapInPandas — per-row content is a pure
+    function of (seed, id), so the table is identical at any parallelism.
+    Exercises the production decode path end-to-end (``fake_decode=False``)."""
+    from .codecs import encode_png, encode_wav
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, kinds, payloads, metas = [], [], [], []
+            for i in pdf["id"].to_numpy():
+                i = int(i)
+                rng = np.random.RandomState((seed * 1_000_003 + i) % (2**32))
+                if i % 2 == 0:
+                    img = rng.randint(0, 256, size=(height, width, 3), dtype=np.uint8)
+                    payloads.append(encode_png(img, filter_type=(i // 2) % 5))
+                    kinds.append("image")
+                    metas.append({"width": width, "height": height, "channels": 3,
+                                  "sample_rate": None, "n_frames": None})
+                else:
+                    pcm = ((rng.rand(n_samples) * 2.0) - 1.0) * 0.5
+                    payloads.append(encode_wav(pcm, sample_rate))
+                    kinds.append("audio")
+                    metas.append({"width": None, "height": None, "channels": None,
+                                  "sample_rate": sample_rate, "n_frames": None})
+                ids.append(f"L-{i}")
+            yield pd.DataFrame(
+                {"media_id": ids, "kind": kinds, "payload": payloads, "meta": metas}
+            )
+
+    return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
 
 
 def synthesize_media(spark, n: int, *, seed: int = 42) -> DataFrame:

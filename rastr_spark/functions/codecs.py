@@ -61,9 +61,13 @@ def decode_png(data: bytes) -> np.ndarray:
     while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         ctype = data[pos + 4 : pos + 8]
+        if pos + 8 + length > len(data):
+            raise ValueError("truncated PNG: chunk length exceeds buffer")
         chunk = data[pos + 8 : pos + 8 + length]
         pos += 12 + length  # length + type + data + CRC (CRC not verified)
         if ctype == b"IHDR":
+            if length != 13:
+                raise ValueError("truncated PNG: bad IHDR length")
             width, height, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", chunk
             )
@@ -82,22 +86,32 @@ def decode_png(data: bytes) -> np.ndarray:
     if color_type not in _CHANNELS:
         raise NotImplementedError(f"PNG color type {color_type} unsupported")
     nch = _CHANNELS[color_type]
-    raw = zlib.decompress(bytes(idat))
     stride = width * nch
-    if len(raw) != height * (stride + 1):
+    expected = height * (stride + 1)
+    # bounded decompression: never materialize more than the IHDR-declared
+    # size + 1 probe byte, so a crafted high-ratio IDAT can't act as a
+    # decompression bomb before the size check runs
+    dobj = zlib.decompressobj()
+    try:
+        raw = dobj.decompress(bytes(idat), expected + 1)
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT: {e}") from e
+    if len(raw) != expected or dobj.unconsumed_tail or not dobj.eof:
         raise ValueError("PNG IDAT size mismatch")
     raw = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
     filters = raw[:, 0]
-    lines = raw[:, 1:].astype(np.int32)
-    out = np.zeros((height, stride), dtype=np.int32)
+    # reconstruct row-by-row into uint8; only the two live rows are widened
+    # (peak extra memory = O(stride), not O(height*stride) int32 copies)
+    out = np.zeros((height, stride), dtype=np.uint8)
     bpp = nch  # bytes per pixel (bit depth 8)
+    zero_row = np.zeros(stride, dtype=np.int64)
     for y in range(height):
         f = int(filters[y])
-        cur = lines[y]
-        prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.int32)
+        cur = raw[y, 1:].astype(np.int64)
+        prev = out[y - 1].astype(np.int64) if y > 0 else zero_row
         if f == 0:  # None
             rec = cur
-        elif f == 1:  # Sub: prefix sums per channel offset
+        elif f == 1:  # Sub: prefix sums per channel offset (int64: no overflow)
             rec = cur.copy()
             for j in range(bpp):
                 rec[j::bpp] = np.cumsum(rec[j::bpp]) % 256
@@ -117,7 +131,7 @@ def decode_png(data: bytes) -> np.ndarray:
         else:
             raise ValueError(f"PNG filter type {f} invalid")
         out[y] = rec % 256
-    img = out.astype(np.uint8).reshape(height, width, nch)
+    img = out.reshape(height, width, nch)
     if color_type == 3:
         if palette is None:
             raise ValueError("palette PNG missing PLTE")
@@ -208,9 +222,13 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
         (length,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        if pos + 8 + length > len(data):
+            raise ValueError("truncated WAV: chunk length exceeds buffer")
         chunk = data[pos + 8 : pos + 8 + length]
         pos += 8 + length + (length & 1)  # chunks are word-aligned
         if cid == b"fmt ":
+            if length < 16:
+                raise ValueError("truncated WAV: fmt chunk too short")
             audio_fmt, n_ch, rate, _br, _ba, bits = struct.unpack("<HHIIHH", chunk[:16])
             fmt = (audio_fmt, n_ch, rate, bits)
         elif cid == b"data":
@@ -234,8 +252,14 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
-    """Mono float samples in [-1, 1] → PCM16 WAV bytes (values clipped)."""
-    x = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 32767.0 / 32768.0)
+    """Mono float samples in [-1, 1] → PCM16 WAV bytes (values clipped).
+
+    NaN samples are rejected loudly (np.clip passes NaN through and the
+    float→int16 cast would be undefined — silent garbage otherwise)."""
+    x = np.asarray(samples, dtype=np.float64)
+    if np.isnan(x).any():
+        raise ValueError("encode_wav: NaN sample(s) in input")
+    x = np.clip(x, -1.0, 32767.0 / 32768.0)
     pcm = np.round(x * 32768.0).astype("<i2").tobytes()
     fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
     return (

@@ -68,7 +68,13 @@ def decode_image(payload: bytes, width: int, height: int, channels: int, *, fake
     from .codecs import PNG_MAGIC, decode_png
 
     if payload and bytes(payload[:8]) == PNG_MAGIC:
-        return decode_png(bytes(payload))
+        try:
+            return decode_png(bytes(payload))
+        except Exception:
+            if not fake:
+                raise
+            # fake mode keeps its contract: NEVER raise — a corrupt or
+            # unsupported-variant PNG falls through to the fake decoder
     if not fake:
         raise NotImplementedError(
             "only PNG decode is available without external codec libraries "
@@ -101,7 +107,14 @@ def image_features(media: DataFrame, *, grid: int = 4, fake_decode: bool = True)
                 img = decode_image(payload, w, h, c, fake=fake_decode).astype(np.float32)
                 h, w, c = img.shape  # decoded file's own dims win (real codecs)
                 gh, gw = max(1, h // grid), max(1, w // grid)
-                img = img[: gh * grid, : gw * grid]
+                if h < grid or w < grid:
+                    # image smaller than the grid in some dimension: NN-expand
+                    # to exactly (grid*gh, grid*gw) so pooling always reshapes
+                    ridx = (np.arange(grid * gh) * h) // (grid * gh)
+                    cidx = (np.arange(grid * gw) * w) // (grid * gw)
+                    img = img[ridx][:, cidx]
+                else:
+                    img = img[: gh * grid, : gw * grid]
                 pooled = img.reshape(grid, gh, grid, gw, c).mean(axis=(1, 3, 4))
                 feats.append((pooled / 255.0).ravel().astype(np.float32))
                 ids.append(mid)
@@ -188,10 +201,16 @@ def decode_audio(payload: bytes, n_samples: int, *, fake: bool = False) -> np.nd
     if payload and bytes(payload[:4]) == b"RIFF":
         from .codecs import decode_wav
 
-        x, _rate = decode_wav(bytes(payload))
-        if len(x) >= n_samples:
-            return x[:n_samples]
-        return np.pad(x, (0, n_samples - len(x)))
+        try:
+            x, _rate = decode_wav(bytes(payload))
+        except Exception:
+            if not fake:
+                raise
+            x = None  # fake mode: corrupt/non-WAVE RIFF falls through to fake
+        if x is not None:
+            if len(x) >= n_samples:
+                return x[:n_samples]
+            return np.pad(x, (0, n_samples - len(x)))
     if not fake:
         raise NotImplementedError(
             "only WAV decode is available without external codec libraries "

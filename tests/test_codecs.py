@@ -113,6 +113,36 @@ class TestPngRoundTrip:
                 parts.append(data[pos - 12 - length : pos])
         np.testing.assert_array_equal(decode_png(b"".join(parts)), img)
 
+    def test_truncated_chunk_rejected_as_valueerror(self):
+        img = _rng(6).randint(0, 256, size=(6, 6, 3), dtype=np.uint8)
+        good = encode_png(img, filter_type=1)
+        # cut mid-IDAT: chunk header declares more bytes than remain
+        with pytest.raises(ValueError, match="truncated PNG|IDAT"):
+            decode_png(good[: len(good) - 20])
+        # corrupt deflate stream inside an intact chunk structure
+        bad = bytearray(good)
+        bad[41] ^= 0xFF  # inside IDAT payload
+        with pytest.raises(ValueError, match="corrupt PNG IDAT|IDAT size"):
+            decode_png(bytes(bad))
+
+    def test_decompression_bomb_bounded(self):
+        # IHDR declares 4x4 gray (expected 84 bytes) but IDAT inflates to 10MB:
+        # must reject via the bounded decompressor, not materialize the bomb
+        def chunk(ctype, payload):
+            return (
+                struct.pack(">I", len(payload))
+                + ctype
+                + payload
+                + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+        bomb = PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(
+            b"IDAT", zlib.compress(b"\x00" * 10_000_000)
+        ) + chunk(b"IEND", b"")
+        with pytest.raises(ValueError, match="IDAT size mismatch"):
+            decode_png(bomb)
+
     def test_rejections_are_loud(self):
         img = np.zeros((4, 4, 3), dtype=np.uint8)
         good = encode_png(img)
@@ -200,6 +230,12 @@ class TestWavRoundTrip:
             decode_wav(b"nope")
         with pytest.raises(NotImplementedError, match="unsupported"):
             decode_wav(self._wav(1, 24, 1, 8000, b"\x00" * 6))
+        # truncated data chunk must be loud, not a silently-short decode
+        full = self._wav(1, 16, 1, 8000, b"\x00\x01" * 100)
+        with pytest.raises(ValueError, match="truncated WAV"):
+            decode_wav(full[:-10])
+        with pytest.raises(ValueError, match="NaN"):
+            encode_wav(np.array([0.5, np.nan]), 8000)
 
 
 class TestSniffingDispatch:
@@ -216,6 +252,38 @@ class TestSniffingDispatch:
 
         with pytest.raises(NotImplementedError):
             decode_image(b"\xff\xd8\xff\xe0jpeg-ish", 8, 8, 3, fake=False)
+
+    def test_fake_mode_never_raises_on_codec_failures(self):
+        # fake=True contract: ANY payload decodes deterministically, including
+        # ones sniffed as PNG/RIFF that the real codec rejects
+        from rastr_spark.functions.multimodal import decode_audio, decode_image
+
+        corrupt_png = PNG_MAGIC + b"\x00\x01garbage-not-a-chunk"
+        out = decode_image(corrupt_png, 8, 8, 3, fake=True)
+        assert out.shape == (8, 8, 3)
+        np.testing.assert_array_equal(out, decode_image(corrupt_png, 8, 8, 3, fake=True))
+        with pytest.raises(ValueError):
+            decode_image(corrupt_png, 8, 8, 3, fake=False)
+
+        webp_ish = b"RIFF\x10\x00\x00\x00WEBPgarbage"
+        pcm = decode_audio(webp_ish, 64, fake=True)
+        assert pcm.shape == (64,)
+        with pytest.raises(ValueError):
+            decode_audio(webp_ish, 64, fake=False)
+
+    def test_image_features_tiny_real_image(self, spark):
+        # a decoded image smaller than the pooling grid must not crash the task
+        from rastr_spark.functions.multimodal import MEDIA_SCHEMA, image_features
+
+        tiny = _rng(11).randint(0, 256, size=(2, 3, 3), dtype=np.uint8)
+        media = spark.createDataFrame(
+            [("t-0", "image", bytearray(encode_png(tiny)),
+              {"width": 2, "height": 3, "channels": 3, "sample_rate": None, "n_frames": None})],
+            MEDIA_SCHEMA,
+        )
+        rows = image_features(media, grid=4, fake_decode=False).collect()
+        assert len(rows) == 1 and len(rows[0]["feature"]) == 16
+        assert all(np.isfinite(v) for v in rows[0]["feature"])
 
     def test_decode_audio_sniffs_wav_pad_and_truncate(self):
         from rastr_spark.functions.multimodal import decode_audio

@@ -427,6 +427,32 @@ def main():
     results["streaming_neardup_100k"] = round(t_sneardup, 3)
     all_walls["streaming_neardup_100k"] = walls
 
+    # -- multimodal real-codec decode: PNG grid features + WAV window RMS -------
+    # (the one operator family with no bench line until round 5; runs the REAL
+    # pure-stdlib codecs — no fake decoder — over a pre-materialized media table,
+    # PNG filter types cycling 0-4 so the Paeth/Average serial unfilter paths are
+    # included in the measurement)
+    from rastr_spark.functions.multimodal import (
+        audio_features,
+        image_features,
+        synthesize_media_lossless,
+    )
+
+    n_media = int(os.environ.get("SPARK_GRAFT_BENCH_MEDIA", "20000"))
+    media_dir = f"/tmp/rastr_bench_media_{os.getpid()}"
+    synthesize_media_lossless(spark, n_media).write.mode("overwrite").parquet(media_dir)
+    media_tbl = spark.read.parquet(media_dir)
+
+    def _decode_all():
+        img = image_features(media_tbl, grid=4, fake_decode=False)
+        aud = audio_features(media_tbl, n_windows=8, window_samples=256, fake_decode=False)
+        assert img.unionByName(aud).count() == n_media
+
+    t_media, walls = timed(_decode_all)
+    results["multimodal_codec_20k"] = round(t_media, 3)
+    all_walls["multimodal_codec_20k"] = walls
+    shutil.rmtree(media_dir, ignore_errors=True)
+
     shutil.rmtree(docs_dir, ignore_errors=True)
     total = round(sum(results.values()), 3)
     out = {
@@ -449,6 +475,8 @@ def main():
         "fuzzy_1m_docs_per_sec": round(n_fuzzy_1m / t_fuzzy_1m, 1),
         "fuzzy_1m_cc_rounds": len(cc_rounds_1m),
         "curate_docs_per_sec": round(n_fuzzy / t_curate, 1),
+        "media_rows": n_media,
+        "media_decode_rows_per_sec": round(n_media / t_media, 1),
         "stream_docs": n_stream,
         "streaming_dedup_docs_per_sec": round(n_stream / t_sdedup, 1),
         "streaming_neardup_docs_per_sec": round(n_stream / t_sneardup, 1),

@@ -39,16 +39,6 @@ PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type → samples/pixel (pre-palette)
 
 
-def _paeth(a: int, b: int, c: int) -> int:
-    p = a + b - c
-    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-    if pa <= pb and pa <= pc:
-        return a
-    if pb <= pc:
-        return b
-    return c
-
-
 def decode_png(data: bytes) -> np.ndarray:
     """PNG bytes → (height, width, channels) uint8 (palette expanded to RGB)."""
     if data[:8] != PNG_MAGIC:
@@ -117,17 +107,39 @@ def decode_png(data: bytes) -> np.ndarray:
                 rec[j::bpp] = np.cumsum(rec[j::bpp]) % 256
         elif f == 2:  # Up
             rec = (cur + prev) % 256
-        elif f == 3:  # Average — serial through reconstructed left
-            rec = cur.copy()
+        elif f == 3:  # Average — serial through reconstructed left; the spec
+            # forces a scan, so run it as a plain-Python list loop (several
+            # times faster than numpy scalar indexing for serial recurrences)
+            rec_l = cur.tolist()
+            prev_l = prev.tolist()
             for i in range(stride):
-                left = rec[i - bpp] if i >= bpp else 0
-                rec[i] = (rec[i] + (left + prev[i]) // 2) % 256
-        elif f == 4:  # Paeth — serial through reconstructed left
-            rec = cur.copy()
+                left = rec_l[i - bpp] if i >= bpp else 0
+                rec_l[i] = (rec_l[i] + ((left + prev_l[i]) >> 1)) & 255
+            rec = np.asarray(rec_l, dtype=np.int64)
+        elif f == 4:  # Paeth — serial scan with the predictor inlined
+            rec_l = cur.tolist()
+            prev_l = prev.tolist()
             for i in range(stride):
-                a = rec[i - bpp] if i >= bpp else 0
-                c = prev[i - bpp] if i >= bpp else 0
-                rec[i] = (rec[i] + _paeth(int(a), int(prev[i]), int(c))) % 256
+                a = rec_l[i - bpp] if i >= bpp else 0
+                b = prev_l[i]
+                c = prev_l[i - bpp] if i >= bpp else 0
+                pa = b - c
+                pb = a - c
+                pc = pa + pb
+                if pa < 0:
+                    pa = -pa
+                if pb < 0:
+                    pb = -pb
+                if pc < 0:
+                    pc = -pc
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b
+                else:
+                    pred = c
+                rec_l[i] = (rec_l[i] + pred) & 255
+            rec = np.asarray(rec_l, dtype=np.int64)
         else:
             raise ValueError(f"PNG filter type {f} invalid")
         out[y] = rec % 256

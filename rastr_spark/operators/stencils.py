@@ -21,10 +21,14 @@ exist here):
            (reference src/rastr/raster.py:1223-1288)
 - extrapolate ≡ scipy NearestNDInterpolator on array indices, Euclidean distance,
            ties → lowest (row, col) (reference src/rastr/arr/fill.py:11-32).
-           Influence radius is unbounded → iterative halo-doubling rounds; a cell
-           is filled only when its nearest donor is *proven* within the current
-           halo (min distance ≤ h ⇒ no unseen donor can be nearer, and every
-           tied donor is inside the window) — exact at any round count.
+           Influence radius is unbounded → a cheap h=8 sweep proves/fills the
+           typical case, then a per-tile DONOR SUMMARY (one representative donor
+           per tile, computed JVM-side in a single pass) gives every remaining
+           NaN tile a proven-sufficient exact radius, and ONE targeted round at
+           per-tile radius finishes. A cell is filled only when its nearest
+           donor is *proven* within the window (min distance ≤ h ⇒ no unseen
+           donor can be nearer, and every tied donor is inside the window) —
+           exact for any donor layout.
 """
 
 from __future__ import annotations
@@ -50,6 +54,7 @@ HALO_MSG_SCHEMA = T.StructType(
         T.StructField("n_rows", T.IntegerType(), False),
         T.StructField("n_cols", T.IntegerType(), False),
         T.StructField("strip", T.ArrayType(T.DoubleType()), False),
+        T.StructField("h", T.IntegerType(), False),
     ]
 )
 
@@ -111,6 +116,7 @@ def halo_messages(rf: RasterFrame, h: int) -> DataFrame:
                     )
                     .otherwise(F.lit(None))
                     .alias("strip"),
+                    F.lit(int(h)).cast("int").alias("h"),
                 )
             )
     exploded = df.select(F.explode(F.array(*msgs)).alias("m")).select("m.*").filter(
@@ -119,10 +125,10 @@ def halo_messages(rf: RasterFrame, h: int) -> DataFrame:
     return exploded
 
 
-def halo_messages_targeted(rf: RasterFrame, h: int, targets: DataFrame) -> DataFrame:
+def halo_messages_targeted(rf: RasterFrame, h: int | None, targets: DataFrame) -> DataFrame:
     """Strip messages for a RESTRICTED target-tile set — the scale path for
-    late extrapolate rounds, where only a few NaN-remaining tiles need a (very
-    wide) halo but every tile is a potential donor.
+    wide-radius extrapolate rounds, where only a few NaN-remaining tiles need
+    a (very wide) halo but every tile is a potential donor.
 
     The ring-offset builder (:func:`halo_messages`) enumerates (2R+1)² offsets
     per SOURCE tile — O(n_tiles · R²) generated rows regardless of how few
@@ -131,10 +137,13 @@ def halo_messages_targeted(rf: RasterFrame, h: int, targets: DataFrame) -> DataF
     is built as sources ⋈ broadcast(targets) filtered to the Chebyshev ring —
     O(n_tiles · n_targets) rows — with the SAME strip-slice arithmetic, dr/dc
     as columns instead of literals. Identical messages, different generator.
+
+    ``targets`` may carry a per-tile integer ``h`` column (the exact-radius
+    extrapolate round — each tile gathers only the window its own proven
+    donor distance needs); the scalar ``h`` is then ignored (pass ``None``).
     """
     meta = rf.meta
     Tsz = meta.tile_size
-    R = max(1, math.ceil(h / Tsz))
     th, tw = tile_dims_cols(meta)
     # source tile coords renamed: the output select aliases ttr/ttc BACK to
     # tile_row/tile_col, and column references captured inside the strip
@@ -145,24 +154,33 @@ def halo_messages_targeted(rf: RasterFrame, h: int, targets: DataFrame) -> DataF
         F.col("tile_row").alias("s_tr"), F.col("tile_col").alias("s_tc"),
         th.alias("th"), tw.alias("tw"), "values",
     )
-    tgt = F.broadcast(
-        targets.select(
+    if "h" in targets.columns:
+        tgt_sel = targets.select(
+            F.col("tile_row").alias("ttr"), F.col("tile_col").alias("ttc"),
+            F.col("h").cast("int").alias("t_h"),
+        )
+    else:
+        tgt_sel = targets.select(
             F.col("tile_row").alias("ttr"), F.col("tile_col").alias("ttc")
-        ).distinct()
-    )
+        ).distinct().withColumn("t_h", F.lit(int(h)))
+    tgt = F.broadcast(tgt_sel)
+    h_c = F.col("t_h")
+    # per-row Chebyshev tile ring: R = max(1, ceil(h / T)) — same prefilter the
+    # scalar builder applies as a literal
+    R_c = F.greatest(F.lit(1), F.ceil(h_c / F.lit(float(Tsz)))).cast("int")
     pairs = src.join(
         tgt,
-        (F.abs(F.col("ttr") - F.col("s_tr")) <= R)
-        & (F.abs(F.col("ttc") - F.col("s_tc")) <= R),
+        (F.abs(F.col("ttr") - F.col("s_tr")) <= R_c)
+        & (F.abs(F.col("ttc") - F.col("s_tc")) <= R_c),
     )
     drc = F.col("ttr") - F.col("s_tr")
     dcc = F.col("ttc") - F.col("s_tc")
     tth = F.least(F.lit(Tsz), F.lit(meta.height) - F.col("ttr") * Tsz)
     ttw = F.least(F.lit(Tsz), F.lit(meta.width) - F.col("ttc") * Tsz)
-    r_lo = F.greatest(F.lit(0), drc * Tsz - h)
-    r_hi = F.least(F.col("th"), drc * Tsz + h + tth)
-    c_lo = F.greatest(F.lit(0), dcc * Tsz - h)
-    c_hi = F.least(F.col("tw"), dcc * Tsz + h + ttw)
+    r_lo = F.greatest(F.lit(0), drc * Tsz - h_c)
+    r_hi = F.least(F.col("th"), drc * Tsz + h_c + tth)
+    c_lo = F.greatest(F.lit(0), dcc * Tsz - h_c)
+    c_hi = F.least(F.col("tw"), dcc * Tsz + h_c + ttw)
     n_rows = r_hi - r_lo
     n_cols = c_hi - c_lo
     tw_col = F.col("tw")
@@ -180,6 +198,7 @@ def halo_messages_targeted(rf: RasterFrame, h: int, targets: DataFrame) -> DataF
         n_rows.cast("int").alias("n_rows"),
         n_cols.cast("int").alias("n_cols"),
         strip.alias("strip"),
+        F.col("t_h").cast("int").alias("h"),
     )
 
 
@@ -204,7 +223,10 @@ def stencil_apply(
     picks the cheaper builder from driver-known bounds: the ring-offset
     builder costs O(n_tiles·(2R+1)²) generated rows, the broadcast-join
     targeted builder O(n_tiles·n_targets); ``n_targets`` supplies the bound
-    (unknown → targeted builder, the safe choice at large R).
+    (unknown → targeted builder, the safe choice at large R). If ``targets``
+    carries an integer ``h`` column, each tile is assembled at its OWN radius
+    (the exact-radius extrapolate round) and the scalar ``h`` may be ``None``;
+    the targeted builder is then always used.
 
     ``clip_to_grid``: allocate only the window ∩ grid instead of the full
     (th+2h)×(tw+2h) square — at h approaching the raster span the unclipped
@@ -223,6 +245,8 @@ def stencil_apply(
     raster_id = rf.raster_id  # primitive capture — closures must not capture rf (DataFrame)
     if targets is None:
         msgs = halo_messages(rf, h)
+    elif "h" in targets.columns:
+        msgs = halo_messages_targeted(rf, None, targets)
     else:
         R = max(1, math.ceil(h / Tsz))
         ring_cost = (2 * R + 1) ** 2
@@ -239,14 +263,17 @@ def stencil_apply(
 
     def assemble(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         tr, tc = int(key[0]), int(key[1])
+        # per-group radius from the messages (constant within a target tile;
+        # differs across tiles in the exact-radius extrapolate round)
+        h_ = int(pdf["h"].iloc[0])
         r0, c0 = tr * Tsz, tc * Tsz
         th_, tw_ = min(Tsz, H - r0), min(Tsz, W - c0)
         if clip:
-            rs, re = max(r0 - h, 0), min(r0 + th_ + h, H)
-            cs, ce = max(c0 - h, 0), min(c0 + tw_ + h, W)
+            rs, re = max(r0 - h_, 0), min(r0 + th_ + h_, H)
+            cs, ce = max(c0 - h_, 0), min(c0 + tw_ + h_, W)
         else:
-            rs, re = r0 - h, r0 + th_ + h
-            cs, ce = c0 - h, c0 + tw_ + h
+            rs, re = r0 - h_, r0 + th_ + h_
+            cs, ce = c0 - h_, c0 + tw_ + h_
         padded = np.full((re - rs, ce - cs), np.nan)
         for gr0, gc0, n_rows, n_cols, strip in zip(
             pdf["gr0"].to_numpy(), pdf["gc0"].to_numpy(),
@@ -258,14 +285,14 @@ def stencil_apply(
             padded[rr : rr + frag.shape[0], cc : cc + frag.shape[1]] = frag
         if clip:
             valid = np.ones(padded.shape, dtype=bool)
-            info = (r0, c0, th_, tw_, h, r0 - rs, c0 - cs)
+            info = (r0, c0, th_, tw_, h_, r0 - rs, c0 - cs)
         else:
             rows = np.arange(rs, re)[:, None]
             cols = np.arange(cs, ce)[None, :]
             valid = np.broadcast_to(
                 (rows >= 0) & (rows < H) & (cols >= 0) & (cols < W), padded.shape
             )
-            info = (r0, c0, th_, tw_, h)
+            info = (r0, c0, th_, tw_, h_)
         core = kernel(padded, valid, info)
         from ..grid import morton_encode
 
@@ -458,97 +485,213 @@ def dilate(rf: RasterFrame, radius: float) -> RasterFrame:
     )
 
 
-# Remaining-NaN-tile count at which extrapolate's doubling loop switches from
-# ×2 to ×EXTRAPOLATE_DIRECT_JUMP radius growth — the same driver-known-bound
-# guard pattern as flagship's BROADCAST_PARTIALS_MAX_ROWS. The jump is
-# GEOMETRIC, not one-shot-to-max: a direct leap to the full diagonal radius
-# overshoots the actual donor distance by orders of magnitude, and even with
-# grid-clipped windows pays whole-raster gathers per remaining tile for
-# nothing (measured: the 16.8M-cell bench needed radius ~181 after its h=128
-# round; the one-shot jump to 5793 OOM'd the JVM). ×8 reaches any true radius
-# in ≤ log8 extra rounds while never gathering more than ~64× the proven-
-# insufficient window.
-EXTRAPOLATE_DIRECT_MAX_TILES = 256
-EXTRAPOLATE_DIRECT_JUMP = 8
+# Remaining-NaN-tile count under which extrapolate finishes with the exact-
+# radius donor-summary round. The radius computation is a broadcast-nested-loop
+# join of (remaining NaN tiles) × (donor-tile summary) with the smaller side
+# broadcast, and the targeted message builder broadcasts the radii table —
+# both need the remaining-tile set to be broadcast-sized. Above the bound the
+# plain doubling loop runs (targets-pruned, memory-safe) until the remaining
+# count shrinks under it; on real data the h=8 sweep alone gets there.
+EXTRAPOLATE_SUMMARY_MAX_TARGETS = 1_000_000
+
+
+def _donor_tile_summary(rf: RasterFrame) -> DataFrame:
+    """Up to 5 rows per tile containing ≥1 donor (non-NaN) cell: the donor
+    cells nearest the tile CENTRE and each of the 4 tile CORNERS, in GLOBAL
+    (row, col) coordinates (duplicates collapsed).
+
+    Single JVM pass (``transform`` + ``array_min`` per anchor — struct
+    ordering gives min anchor-distance, ties → lowest row-major index), no
+    shuffle: the coarse "where are the donors" table the exact-radius round
+    is planned from. Five representatives keep the radius bound tight for
+    the common shapes (a small hole inside a donor-rich tile sees the
+    centre-nearest donor; a donor band along one edge sees its corner
+    donors); the residual slack is paid only in window size, never in
+    correctness (the radius is an upper bound by construction; the kernel
+    still computes the true nearest donor)."""
+    meta = rf.meta
+    Tsz = meta.tile_size
+    th, tw = tile_dims_cols(meta)
+    df = rf.df.select("tile_row", "tile_col", th.alias("th"), tw.alias("tw"), "values")
+    th_c, tw_c = F.col("th"), F.col("tw")
+    # anchor coords scaled ×2 to stay integral: centre ((th-1)/2, (tw-1)/2)
+    # and the 4 corners
+    anchors = [
+        (th_c - 1, tw_c - 1),
+        (F.lit(0), F.lit(0)),
+        (F.lit(0), 2 * (tw_c - 1)),
+        (2 * (th_c - 1), F.lit(0)),
+        (2 * (th_c - 1), 2 * (tw_c - 1)),
+    ]
+    def make_cand(ar, ac):
+        def cand(v, i):
+            r = F.floor(i / tw_c).cast("long")
+            c = (i % tw_c).cast("long")
+            dr = 2 * r - ar
+            dc = 2 * c - ac
+            return F.when(
+                ~F.isnan(v),
+                F.struct((dr * dr + dc * dc).alias("d2"), i.cast("int").alias("i")),
+            )
+
+        return cand
+
+    bests = [
+        F.array_min(F.transform("values", make_cand(ar, ac))) for ar, ac in anchors
+    ]
+
+    idxs = F.array_distinct(F.array(*[b.getField("i") for b in bests]))
+    return (
+        df.select("tile_row", "tile_col", "th", "tw", idxs.alias("idxs"))
+        .filter(F.col("idxs")[0].isNotNull())
+        .select(
+            "tile_row", "tile_col", "tw", F.explode("idxs").alias("i")
+        )
+        .select(
+            (F.col("tile_row") * Tsz + F.floor(F.col("i") / F.col("tw")))
+            .cast("int")
+            .alias("rep_r"),
+            (F.col("tile_col") * Tsz + F.col("i") % F.col("tw"))
+            .cast("int")
+            .alias("rep_c"),
+        )
+    )
+
+
+def _nan_tile_flags(df: DataFrame, meta: RasterMeta) -> DataFrame:
+    """(tile_row, tile_col, rmin, rmax, cmin, cmax) for every tile with ≥1 NaN
+    cell — the tile-LOCAL bounding box of its NaN cells, computed in one JVM
+    pass. The exact-radius round plans its window from this box, so a small
+    hole in a big tile gathers a hole-sized window, not a tile-sized one."""
+    th, tw = tile_dims_cols(meta)
+    base = df.select(
+        "tile_row", "tile_col", th.alias("th"), tw.alias("tw"), "values"
+    ).filter(F.exists("values", lambda v: F.isnan(v)))
+    tw_c = F.col("tw")
+    nan_i = F.transform("values", lambda v, i: F.when(F.isnan(v), i))
+    nan_c = F.transform("values", lambda v, i: F.when(F.isnan(v), i % tw_c))
+    return base.select(
+        "tile_row",
+        "tile_col",
+        F.floor(F.array_min(nan_i) / tw_c).cast("int").alias("rmin"),
+        F.floor(F.array_max(nan_i) / tw_c).cast("int").alias("rmax"),
+        F.array_min(nan_c).cast("int").alias("cmin"),
+        F.array_max(nan_c).cast("int").alias("cmax"),
+    )
+
+
+def _exact_target_radii(
+    flags: DataFrame, summary: DataFrame, meta: RasterMeta, max_h: int,
+    *, broadcast_flags: bool,
+) -> DataFrame:
+    """(tile_row, tile_col, h) for every NaN tile: a PROVEN-sufficient per-tile
+    radius from the donor summary and the tile's NaN bounding box.
+
+    For a fixed donor position, distance over the NaN bbox rectangle is convex
+    and separable, so its max is max-over-row-interval + max-over-col-interval;
+    min over donor reps of that corner-max bounds every NaN cell's nearest-donor
+    distance from above (the rep IS a real donor). Broadcast-nested-loop join
+    with the smaller side broadcast, partial-aggregated min per target — the
+    only shuffle carries one row per remaining tile."""
+    Tsz = meta.tile_size
+    t = flags.select(
+        F.col("tile_row").alias("ttr"), F.col("tile_col").alias("ttc"),
+        "rmin", "rmax", "cmin", "cmax",
+    )
+    if broadcast_flags:
+        j = F.broadcast(t).crossJoin(summary)
+    else:
+        j = t.crossJoin(F.broadcast(summary))
+    gr0 = F.col("ttr").cast("long") * Tsz + F.col("rmin")
+    gr1 = F.col("ttr").cast("long") * Tsz + F.col("rmax")
+    gc0 = F.col("ttc").cast("long") * Tsz + F.col("cmin")
+    gc1 = F.col("ttc").cast("long") * Tsz + F.col("cmax")
+    dr = F.greatest(F.abs(gr0 - F.col("rep_r")), F.abs(gr1 - F.col("rep_r")))
+    dc = F.greatest(F.abs(gc0 - F.col("rep_c")), F.abs(gc1 - F.col("rep_c")))
+    d2 = dr * dr + dc * dc
+    return (
+        j.groupBy("ttr", "ttc")
+        .agg(F.min(d2).alias("d2"))
+        .select(
+            F.col("ttr").alias("tile_row"),
+            F.col("ttc").alias("tile_col"),
+            F.greatest(
+                F.lit(1), F.least(F.ceil(F.sqrt("d2")), F.lit(max_h))
+            ).cast("int").alias("h"),
+        )
+    )
 
 
 def extrapolate(rf: RasterFrame, method: str = "nearest") -> RasterFrame:
     """NaN → nearest non-NaN by Euclidean index distance, ties → lowest (row, col)
     (reference src/rastr/raster.py:1290-1309 + arr/fill.py:11-32).
 
-    Iterative halo-doubling: round k proves/fills all cells whose nearest donor is
-    within h_k; h doubles until no NaN remains (or the grid maximum is reached).
-    All-NaN rasters return unchanged. Convergence: ceil(max NaN-run / T) rounds.
+    Two-level plan (SURVEY §2.2): three cheap JVM map passes over the original
+    raster — NaN-tile flags (+ NaN bbox), donor-tile summary (5 reps/tile),
+    and a tiles×tiles broadcast-nested-loop min — give every NaN tile an
+    EXACT proven-sufficient radius, and ONE targeted stencil round at
+    per-tile radius finishes, always filling from the ORIGINAL raster (scipy
+    NearestNDInterpolator semantics: chained propagation would drift).
+    NaN-free tiles never enter the shuffle at all. All-NaN rasters return
+    unchanged. A halo-doubling fallback covers the adversarial case where
+    the NaN-tile set itself is too big to broadcast.
     """
     if method not in ("nearest",):
         raise NotImplementedError(f"Unsupported extrapolation method: {method}")
     meta = rf.meta
     make_kernel = _nn_fill_kernel
 
-    from .aggregates import rf_stats
-
-    if rf_stats(rf)["count"] == 0:
-        return RasterFrame(rf.df, rf.meta, rf.raster_id)
-
-    # Rounds always fill FROM THE ORIGINAL raster (scipy NearestNDInterpolator uses
-    # only original donors — chained propagation would drift); each round retries
-    # with a doubled proof radius. halo_messages supports h > T (multi-ring), so
-    # the final radius covers the whole grid → exact for any sparsity. Typical
-    # data (NaN runs ≪ T) resolves in round 1 with the cheap h=8 window.
-    #
-    # Scale shape of the loop (VERDICT r4 item 8): after round 1, only tiles
-    # that STILL contain NaN are recomputed (targets= pruning — a NaN-free tile
-    # is final, since fills use only original donors), so a round's shuffle and
-    # cached footprint track the remaining work, not the raster. Once the
-    # remaining-tile count drops to EXTRAPOLATE_DIRECT_MAX_TILES the radius
-    # grows ×EXTRAPOLATE_DIRECT_JUMP per round instead of ×2 (targeted message
-    # cost n_tiles · remaining — bounded by the guard), reaching the full
-    # proof radius in O(log8) rounds without ever gathering wildly more window
-    # than needed; with MANY distant-NaN tiles the accelerated jump would be
-    # the scale-killer (n_tiles² strips), so plain doubling continues there.
-    h = 8
     # full proof radius = the grid DIAGONAL: max(H, W) would leave a far
     # corner unproven when the only donors sit in the opposite corner
     # (distance up to √(H²+W²) — found by the single-corner-donor test)
     max_h = int(math.ceil(math.hypot(meta.height, meta.width)))
-    out = None
-    prev_cached = None
-    targets = None
-    n_targets = None
     has_nan = F.exists("values", lambda v: F.isnan(v))
-    for _ in range(64):  # 2^64 cells ≫ any grid; loop exits via remaining == 0
-        filled = stencil_apply(
-            rf, h, make_kernel(h), targets=targets, n_targets=n_targets,
-            # large radii switch to the two-pass kernel, which accepts the
-            # grid-clipped window — bounding per-tile memory by the raster
-            # footprint instead of (2h)² (h can reach the grid diagonal)
-            clip_to_grid=h > 32,
-        )
-        if targets is None:
-            out = filled
-        else:
-            done = out.df.join(
-                F.broadcast(targets), ["tile_row", "tile_col"], "left_anti"
+
+    flags = _nan_tile_flags(rf.df, meta).localCheckpoint(eager=False)
+    n_targets = flags.count()
+    if not n_targets:  # no NaN anywhere — nothing to fill
+        return RasterFrame(rf.df, meta, rf.raster_id)
+    summary = _donor_tile_summary(rf).localCheckpoint(eager=False)
+    donor_reps = summary.count()
+    if not donor_reps:  # all-NaN raster: reference returns it unchanged
+        return RasterFrame(rf.df, meta, rf.raster_id)
+
+    out_df = rf.df
+    if n_targets > EXTRAPOLATE_SUMMARY_MAX_TARGETS:
+        # Doubling fallback ONLY while the NaN-tile set is too big to
+        # broadcast (adversarial dense-checkerboard layouts); each round
+        # recomputes just the still-NaN tiles (fills use only original
+        # donors, so a NaN-free tile is final) and localCheckpoint cuts the
+        # per-round plan — lineage stays one round deep however many rounds
+        # run. Exits into the exact-radius round as soon as the remaining
+        # set shrinks under the bound.
+        h = 8
+        targets = flags.select("tile_row", "tile_col")
+        for _ in range(64):  # 2^64 cells ≫ any grid; exits via remaining == 0
+            filled = stencil_apply(
+                rf, h, make_kernel(h), targets=targets, n_targets=n_targets,
+                clip_to_grid=h > 32,
             )
-            out = RasterFrame(done.unionByName(filled.df), meta, rf.raster_id)
-        out = RasterFrame(out.df.cache(), out.meta, out.raster_id)
-        flags = out.df.filter(has_nan).select("tile_row", "tile_col")
-        n_targets = flags.count()  # materializes this round's cache
-        # the count above materialized this round's cache — the previous
-        # round's table is dead weight in executor storage memory from here on
-        if prev_cached is not None:
-            prev_cached.unpersist()
-        prev_cached = out.df
-        if not n_targets or h >= max_h:
-            break
-        targets = flags
-        grow = (
-            EXTRAPOLATE_DIRECT_JUMP
-            if n_targets <= EXTRAPOLATE_DIRECT_MAX_TILES
-            else 2
-        )
-        h = min(h * grow, max_h)
-    return out
+            out_df = out_df.filter(~has_nan).unionByName(filled.df)
+            out_df = out_df.localCheckpoint(eager=False)
+            flags = _nan_tile_flags(out_df, meta)
+            n_targets = flags.count()  # one job: materializes the checkpoint
+            if not n_targets or h >= max_h:
+                return RasterFrame(out_df, meta, rf.raster_id)
+            if n_targets <= EXTRAPOLATE_SUMMARY_MAX_TARGETS:
+                flags = flags.localCheckpoint(eager=True)
+                break
+            targets = flags.select("tile_row", "tile_col")
+            h = min(h * 2, max_h)
+
+    # exact-radius round: donor summary → per-tile proven radius → ONE
+    # targeted round (two-pass kernel, grid-clipped windows)
+    radii = _exact_target_radii(
+        flags, summary, meta, max_h, broadcast_flags=n_targets <= donor_reps
+    )
+    filled = stencil_apply(rf, None, make_kernel(None), targets=radii, clip_to_grid=True)
+    out_df = out_df.filter(~has_nan).unionByName(filled.df)
+    return RasterFrame(out_df, meta, rf.raster_id)
 
 
 def _nn_fill_kernel(h):
@@ -577,8 +720,11 @@ def _nn_fill_kernel(h):
         # then smaller dx ⇒ smaller donor col. Only offsets with d ≤ h qualify
         # (a donor outside the window is at Chebyshev > h ⇒ Euclid > h, so a
         # hit within h is globally optimal and every tied donor is in-window).
-        if h_ <= 32:
-            # small radius: offset-ordered sweep, fully vectorized per offset
+        if len(info) == 5 and h_ <= 32:
+            # small radius, full (unclipped) window: offset-ordered sweep,
+            # fully vectorized per offset. Clipped 7-tuple windows always take
+            # the two-pass scan — the sweep's padded[top+dy ...] indexing
+            # assumes a full h_ margin on every side.
             offs = [
                 (dy * dy + dx * dx, dy, dx)
                 for dy in range(-h_, h_ + 1)

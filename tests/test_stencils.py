@@ -493,10 +493,12 @@ class TestExtrapolateCappedRounds:
                 assert out[r, c] == arr[cand[0, 0], cand[0, 1]], (r, c)
         assert not np.isnan(out).any()
 
-    def test_direct_jump_bounds_round_count(self, spark, monkeypatch):
-        # with the remaining-tile guard satisfied the loop must finish in 2
-        # stencil rounds (h=8, then the direct full-radius round) instead of
-        # log2(grid/8) doublings — counted via stencil_apply invocations
+    def test_summary_plan_single_stencil_round(self, spark, monkeypatch):
+        # the donor-summary plan must finish in EXACTLY 1 stencil round for
+        # any donor layout (flags + summary are JVM map passes, then one
+        # exact-radius targeted round) — counted via stencil_apply
+        # invocations; the round passes h=None (per-tile radii live in the
+        # targets DataFrame)
         import numpy as np
 
         import rastr_spark.operators.stencils as st
@@ -517,13 +519,49 @@ class TestExtrapolateCappedRounds:
         meta = RasterMeta(1.0, "EPSG:2193", Affine(1, 0, 0, 0, -1, H), H, W, tile_size=16)
         out = st.extrapolate(RasterFrame.from_numpy(spark, arr, meta)).to_numpy()
         assert (out == 7.0).all()
-        # h=8 probe, then ×8 accelerated rounds capped at the 128² diagonal
-        # (182) — never log2(grid/8) plain doublings
-        assert calls == [8, 64, 182], calls
+        assert calls == [None], calls
+
+    def test_exact_radius_is_tight_per_tile(self, spark):
+        # the per-tile radii must bound the true worst-case nearest-donor
+        # distance from above WITHOUT collapsing to the grid diagonal: a
+        # donor-dense left half means right-half tiles need ~their distance
+        # to the donor column, not the diagonal
+        import numpy as np
+
+        import rastr_spark.operators.stencils as st
+        from rastr_spark.meta import Affine, RasterMeta
+        from rastr_spark.tiles import RasterFrame
+
+        H = W = 64
+        arr = np.full((H, W), np.nan)
+        arr[:, 0] = np.arange(H, dtype=float)  # donor column at c=0
+        meta = RasterMeta(1.0, "EPSG:2193", Affine(1, 0, 0, 0, -1, H), H, W, tile_size=16)
+        rf = RasterFrame.from_numpy(spark, arr, meta)
+        summary = st._donor_tile_summary(rf)
+        # fully-NaN tiles: bbox = whole tile
+        flags = spark.createDataFrame(
+            [(r, c, 0, 15, 0, 15) for r in range(4) for c in range(1, 4)],
+            "tile_row int, tile_col int, rmin int, rmax int, cmin int, cmax int",
+        )
+        radii = {
+            (r["tile_row"], r["tile_col"]): r["h"]
+            for r in st._exact_target_radii(
+                flags, summary, meta, 91, broadcast_flags=True
+            ).collect()
+        }
+        for (tr, tc), h in radii.items():
+            # true worst case: the tile's far-column cell to the donor column,
+            # same row (donor column is full) → distance = far col index
+            true_worst = tc * 16 + 15
+            assert h >= true_worst, (tr, tc, h)
+            # tight within a tile diagonal of slack (rep = centre-nearest
+            # donor of the best tile, ±half a tile in each axis)
+            assert h <= true_worst + 24, (tr, tc, h)
 
     def test_many_remaining_tiles_keep_doubling(self, spark, monkeypatch):
-        # above the guard the jump would be the scale-killer — doubling must
-        # continue (guard patched to 0 so ANY remaining count exceeds it)
+        # above the broadcast guard the radii cross-join would be the
+        # scale-killer — doubling must continue (guard patched to 0 so ANY
+        # remaining count exceeds it)
         import numpy as np
 
         import rastr_spark.operators.stencils as st
@@ -538,14 +576,14 @@ class TestExtrapolateCappedRounds:
             return orig(rf, h, kernel, **kw)
 
         monkeypatch.setattr(st, "stencil_apply", spy)
-        monkeypatch.setattr(st, "EXTRAPOLATE_DIRECT_MAX_TILES", 0)
+        monkeypatch.setattr(st, "EXTRAPOLATE_SUMMARY_MAX_TARGETS", 0)
         H = W = 64
         arr = np.full((H, W), np.nan)
         arr[0, 0] = 7.0
         meta = RasterMeta(1.0, "EPSG:2193", Affine(1, 0, 0, 0, -1, H), H, W, tile_size=16)
         out = st.extrapolate(RasterFrame.from_numpy(spark, arr, meta)).to_numpy()
         assert (out == 7.0).all()
-        # pure doubling capped at the diagonal proof radius, no jump
+        # pure doubling capped at the diagonal proof radius
         assert calls == [8, 16, 32, 64, 91], calls
 
     def test_single_corner_donor_fills_entire_grid(self, spark):

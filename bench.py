@@ -490,7 +490,11 @@ def main():
             "levels": [r.get("cpus") for r in s.get("runs", [])],
             "docs_per_sec": [round(r.get("docs_per_sec", 0), 1) for r in s.get("runs", [])],
         }
-    print(json.dumps(out))
+    # stdout is the driver contract, but its capture truncates long lines
+    # (BENCH_r05.json lost its tail) — persist the full record to a file too
+    payload = json.dumps(out)
+    (Path(__file__).resolve().parent / "BENCH_LOCAL.json").write_text(payload + "\n")
+    print(payload)
     spark.stop()
 
 

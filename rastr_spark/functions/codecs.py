@@ -54,7 +54,15 @@ def decode_png(data: bytes) -> np.ndarray:
         if pos + 8 + length > len(data):
             raise ValueError("truncated PNG: chunk length exceeds buffer")
         chunk = data[pos + 8 : pos + 8 + length]
-        pos += 12 + length  # length + type + data + CRC (CRC not verified)
+        if pos + 12 + length > len(data):
+            raise ValueError("truncated PNG: missing chunk CRC")
+        (stored_crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(ctype + chunk) & 0xFFFFFFFF != stored_crc:
+            # the module contract is "rejections are loud, never silent
+            # garbage": a bit-flipped PLTE/IDAT can stay zlib-valid and
+            # decode to wrong pixels without this check
+            raise ValueError(f"corrupt PNG: CRC mismatch in {ctype!r} chunk")
+        pos += 12 + length
         if ctype == b"IHDR":
             if length != 13:
                 raise ValueError("truncated PNG: bad IHDR length")
@@ -244,10 +252,19 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
             audio_fmt, n_ch, rate, _br, _ba, bits = struct.unpack("<HHIIHH", chunk[:16])
             fmt = (audio_fmt, n_ch, rate, bits)
         elif cid == b"data":
+            if samples is not None:
+                # one data chunk per spec; concatenating or keeping either one
+                # silently would both be guesses — reject loudly instead
+                raise ValueError("corrupt WAV: multiple data chunks")
             samples = chunk
     if fmt is None or samples is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_fmt, n_ch, rate, bits = fmt
+    if bits % 8 == 0 and len(samples) % (bits // 8) != 0:
+        raise ValueError(
+            f"truncated WAV: data length {len(samples)} is not a multiple of "
+            f"the {bits // 8}-byte sample size"
+        )
     if audio_fmt == 1 and bits == 16:
         x = np.frombuffer(samples, dtype="<i2").astype(np.float32) / 32768.0
     elif audio_fmt == 1 and bits == 32:

@@ -150,8 +150,6 @@ def log(rf: RasterFrame) -> RasterFrame:
             .otherwise(F.lit(float("nan")))
         )
 
-    with np.errstate(divide="ignore", invalid="ignore"):
-        pass
     return _elementwise(rf, jvm, lambda x: _silent(np.log, x))
 
 

@@ -110,6 +110,13 @@ class CheckpointManager:
     # stage manifests live in (swap the parquet append for an Iceberg
     # `writeTo(...).append()` unchanged).
 
+    # Versioned table path: the r5 schema change (added run_fp; 'changed'
+    # semantics moved from labels-changed count to remaining quotient-edge
+    # count under the Borůvka rewrite) must not append mixed-schema files
+    # into a table written by the old layout — parquet readers without
+    # mergeSchema would silently drop run_fp or fail. Bump the suffix on any
+    # future column/semantics change.
+    _METRICS_TABLE = "_round_metrics_v2"
     _METRICS_SCHEMA = (
         "stage string, run_fp string, round int, changed long, wall_sec double, "
         "recorded_at double"
@@ -123,7 +130,9 @@ class CheckpointManager:
         this manager's metrics table. ``run_fp`` (the stage's effective input
         fingerprint) distinguishes rounds from distinct runs of the same stage
         name — a parameter-change recompute appends under a new fingerprint
-        instead of interleaving indistinguishably."""
+        instead of interleaving indistinguishably. ``changed`` is the round's
+        remaining quotient-edge count (v2 semantics; v1 recorded the
+        labels-changed count of the pre-Borůvka scheme)."""
         now = time.time()
         rows = [
             (stage, run_fp, int(r["round"]), int(r["changed"]), float(r["wall_sec"]), now)
@@ -131,7 +140,7 @@ class CheckpointManager:
         ]
         spark.createDataFrame(rows, self._METRICS_SCHEMA).coalesce(1).write.mode(
             "append"
-        ).parquet(str(self.root / "_round_metrics"))
+        ).parquet(str(self.root / self._METRICS_TABLE))
 
     def read_round_metrics(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(str(self.root / "_round_metrics"))
+        return spark.read.parquet(str(self.root / self._METRICS_TABLE))

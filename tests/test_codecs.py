@@ -36,6 +36,22 @@ def _rng(seed=0):
     return np.random.RandomState(seed)
 
 
+def _fix_crcs(data: bytes | bytearray) -> bytes:
+    """Recompute every chunk CRC — lets tests mutate chunk payloads to target
+    rejection paths DEEPER than the CRC gate."""
+    out = bytearray(data)
+    pos = 8
+    while pos + 8 <= len(out):
+        (length,) = struct.unpack(">I", bytes(out[pos : pos + 4]))
+        ctype = bytes(out[pos + 4 : pos + 8])
+        payload = bytes(out[pos + 8 : pos + 8 + length])
+        out[pos + 8 + length : pos + 12 + length] = struct.pack(
+            ">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF
+        )
+        pos += 12 + length
+    return bytes(out)
+
+
 class TestPngRoundTrip:
     @pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
     @pytest.mark.parametrize("channels", [1, 2, 3, 4])
@@ -119,10 +135,21 @@ class TestPngRoundTrip:
         # cut mid-IDAT: chunk header declares more bytes than remain
         with pytest.raises(ValueError, match="truncated PNG|IDAT"):
             decode_png(good[: len(good) - 20])
-        # corrupt deflate stream inside an intact chunk structure
+        # corrupt deflate stream inside an intact chunk structure — CRC
+        # recomputed so the zlib-corruption path (not the CRC gate) rejects
         bad = bytearray(good)
         bad[41] ^= 0xFF  # inside IDAT payload
         with pytest.raises(ValueError, match="corrupt PNG IDAT|IDAT size"):
+            decode_png(_fix_crcs(bad))
+
+    def test_crc_mismatch_rejected(self):
+        # a bit-flip that keeps the deflate stream valid must still be loud:
+        # every chunk's CRC32 is verified (ADVICE r5)
+        img = _rng(11).randint(0, 256, size=(6, 6, 3), dtype=np.uint8)
+        good = encode_png(img, filter_type=0)
+        bad = bytearray(good)
+        bad[41] ^= 0xFF  # payload changed, stored CRC untouched
+        with pytest.raises(ValueError, match="CRC mismatch"):
             decode_png(bytes(bad))
 
     def test_decompression_bomb_bounded(self):
@@ -148,15 +175,16 @@ class TestPngRoundTrip:
         good = encode_png(img)
         with pytest.raises(ValueError, match="signature"):
             decode_png(b"JUNK" + good[4:])
-        # flip bit depth to 16 inside IHDR (byte offset: 8 sig + 8 hdr + 8 w/h)
+        # flip bit depth to 16 inside IHDR (byte offset: 8 sig + 8 hdr + 8 w/h);
+        # CRCs recomputed so the depth check, not the CRC gate, rejects
         bad_depth = bytearray(good)
         bad_depth[24] = 16
         with pytest.raises(NotImplementedError, match="bit depth"):
-            decode_png(bytes(bad_depth))
+            decode_png(_fix_crcs(bad_depth))
         bad_interlace = bytearray(good)
         bad_interlace[28] = 1
         with pytest.raises(NotImplementedError, match="interlaced"):
-            decode_png(bytes(bad_interlace))
+            decode_png(_fix_crcs(bad_interlace))
         with pytest.raises(TypeError):
             encode_png(img.astype(np.int32))
         with pytest.raises(ValueError, match="channel count"):
@@ -236,6 +264,18 @@ class TestWavRoundTrip:
             decode_wav(full[:-10])
         with pytest.raises(ValueError, match="NaN"):
             encode_wav(np.array([0.5, np.nan]), 8000)
+        # odd-length data for 16-bit PCM: loud codec message, not a raw numpy
+        # buffer-size ValueError (ADVICE r5)
+        with pytest.raises(ValueError, match="truncated WAV.*multiple"):
+            decode_wav(self._wav(1, 16, 1, 8000, b"\x00\x01\x02"))
+        # several data chunks: spec allows one — rejecting beats silently
+        # keeping the last (ADVICE r5)
+        base = self._wav(1, 16, 1, 8000, b"\x00\x01" * 4)
+        extra = b"data" + struct.pack("<I", 4) + b"\x00\x01\x00\x01"
+        doubled = bytearray(base + extra)
+        doubled[4:8] = struct.pack("<I", len(doubled) - 8)
+        with pytest.raises(ValueError, match="multiple data chunks"):
+            decode_wav(bytes(doubled))
 
 
 class TestSniffingDispatch:

@@ -82,15 +82,24 @@ _CELLS_SQL = f"""
   FROM lineitem GROUP BY 1, 2
 """
 
-_TOKS_SQL = """
-  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts FROM documents
+def _toks_sql(src: str) -> str:
+    return f"""
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts FROM {src}
 """
 
-_GRAMS_SQL = f"""
+
+def _grams_sql(src: str) -> str:
+    """Distinct word-3-grams per doc — the SQL twin of word_ngrams(text, 3),
+    parameterized on the doc source (documents view or a derived CTE)."""
+    return f"""
   SELECT DISTINCT doc_id, array_to_string(ts[g:g+2], ' ') AS gram
-  FROM (SELECT doc_id, ts, unnest(range(1, greatest(len(ts) - 1, 2))) AS g FROM ({_TOKS_SQL}))
+  FROM (SELECT doc_id, ts, unnest(range(1, greatest(len(ts) - 1, 2))) AS g FROM ({_toks_sql(src)}))
   WHERE len(ts) >= 3
 """
+
+
+_TOKS_SQL = _toks_sql("documents")
+_GRAMS_SQL = _grams_sql("documents")
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1963,6 +1972,130 @@ WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.999
 """
 
 
+# ---------------------------------------------------------------------------
+# Streaming family (Structured Streaming drained with availableNow — the drain
+# is deterministic, so the streaming operators get full hash oracles like the
+# batch family; engine-added, reference is batch-only per its README.md:158)
+# ---------------------------------------------------------------------------
+
+_STREAM_EPOCH = 1767225600  # fixed; all synthetic ts within one watermark horizon
+
+
+def _drain_to_table(spark, stream_df, prefix: str):
+    """availableNow drain into a uniquely-named in-memory table; returns it."""
+    import uuid as _uuid
+
+    name = f"{prefix}_{_uuid.uuid4().hex[:10]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def _q_streaming_dedup(spark, sf_dir):
+    """Streaming exact dedup (dropDuplicatesWithinWatermark over the 128-bit
+    fingerprint): documents + a planted duplicate slice flow through a
+    file-source stream with synthetic timestamps inside one watermark horizon
+    (span 300 s < 10 min ⇒ every duplicate is guaranteed caught — no state
+    eviction mid-drain). The survivor of a text group is an arbitrary member
+    (documented dropDuplicates semantics), so the result is projected onto the
+    columns every member shares: the text itself. If the stream failed to drop
+    a duplicate the row count diverges from the oracle's DISTINCT."""
+    from rastr_spark.streaming.updates import streaming_dedup_exact
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 600000).alias("doc_id"), "text"
+    )
+    src = d.unionByName(dup).withColumn(
+        "ts", F.timestamp_seconds(F.lit(_STREAM_EPOCH) + F.col("doc_id") % 300)
+    )
+    path = f"{_ORACLE_ART_DIR}/stream_dedup_src"
+    src.repartition(4).write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema("doc_id bigint, text string, ts timestamp").parquet(path)
+    out = streaming_dedup_exact(stream, text_col="text", ts_col="ts", watermark="10 minutes")
+    table = _drain_to_table(spark, out, "sdedup")
+    return table.select("text", F.length("text").cast("long").alias("text_len"))
+
+
+_ORACLE_STREAMING_DEDUP = """
+SELECT DISTINCT text, length(text)::BIGINT AS text_len FROM documents
+"""
+
+
+def _q_streaming_neardup_index(spark, sf_dir):
+    """Streaming near-dup detection against the PERSISTED dedup index — the
+    batch (build_dedup_index) and streaming (streaming_near_dup_hits_vs_index)
+    paths share one index contract: params manifest validated, reference
+    buckets recomputed from the stored fixed-width signatures. md5 hash family
+    so DuckDB replays BOTH sides' banding bit-for-bit: the reference side from
+    the persisted signature artifact, the stream side from the raw documents.
+    Corpus = even doc_ids; stream = odd doc_ids plus planted near-dups of the
+    first indexed docs (one token appended)."""
+    from rastr_spark.streaming.updates import streaming_near_dup_hits_vs_index
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    index_dir = f"{_ORACLE_ART_DIR}/stream_index"
+    D.build_dedup_index(
+        corpus, index_dir=index_dir, n=3, num_hashes=8, bands=4,
+        threshold=0.8, hash_family="md5",
+    )
+    planted = d.filter((F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 40)).select(
+        (F.col("doc_id") + 700000).alias("doc_id"),
+        F.concat("text", F.lit(" zzqx")).alias("text"),
+    )
+    stream_src = d.filter(F.col("doc_id") % 2 == 1).unionByName(planted)
+    path = f"{_ORACLE_ART_DIR}/stream_neardup_src"
+    stream_src.repartition(4).write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(path)
+    hits = streaming_near_dup_hits_vs_index(
+        stream, index_dir, n=3, num_hashes=8, bands=4, hash_family="md5"
+    )
+    table = _drain_to_table(spark, hits, "sneardup")
+    return table.select("stream_id", "ref_id", "canonical_id", "band")
+
+
+def _streaming_neardup_oracle() -> str:
+    stream_docs = """
+      SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+      UNION ALL
+      SELECT doc_id + 700000 AS doc_id, text || ' zzqx' AS text
+      FROM documents WHERE doc_id % 2 = 0 AND doc_id < 40
+    """
+    mins = ", ".join(f"min(md5(gram || ':{i}')) AS h{i}" for i in range(8))
+    stream_bands = " UNION ALL ".join(
+        f"SELECT doc_id AS stream_id, {bi} AS band, h{2 * bi} || '|' || h{2 * bi + 1} AS bucket FROM ssig"
+        for bi in range(4)
+    )
+    ref_bands = " UNION ALL ".join(
+        f"SELECT id AS ref_id, canonical_id, {bi} AS band, sig[{2 * bi + 1}] || '|' || sig[{2 * bi + 2}] AS bucket FROM isig"
+        for bi in range(4)
+    )
+    # staleness guard: the persisted signature artifact must cover exactly the
+    # index corpus's shingling distinct texts
+    guard = """(SELECT count(*) FROM isig) = (
+      SELECT count(DISTINCT text) FROM documents
+      WHERE doc_id % 2 = 0
+        AND len(list_filter(string_split(lower(text), ' '), t -> t <> '')) >= 3)"""
+    return f"""
+WITH isig AS (SELECT * FROM read_parquet('{_ORACLE_ART_DIR}/stream_index/signatures/*.parquet')),
+sdocs AS ({stream_docs}),
+grams AS ({_grams_sql("sdocs")}),
+ssig AS (SELECT doc_id, {mins} FROM grams GROUP BY doc_id),
+sb AS ({stream_bands}),
+rb AS ({ref_bands})
+SELECT stream_id, ref_id, canonical_id, band
+FROM sb JOIN rb USING (band, bucket)
+WHERE {guard}
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "raster_stats": _q_raster_stats,
@@ -2027,6 +2160,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_contour_summary": _q_contour,
         # oracle-verified: fixed Delaunay embedded as VALUES, barycentric in SQL
         "raster_point_cloud_interp": _q_point_cloud,
+        # streaming family, drained deterministically with availableNow:
+        # exact dedup through the watermark-bounded state store; near-dup
+        # hits as a stream-static join against the persisted dedup index
+        "streaming_dedup_exact": _q_streaming_dedup,
+        "streaming_neardup_index": _q_streaming_neardup_index,
     }
 
 
@@ -2077,4 +2215,6 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_wav_features": _ORACLE_WAV_FEATURES,
         "raster_contour_summary": _contour_oracle(),
         "dedup_incremental": _incremental_oracle(),
+        "streaming_dedup_exact": _ORACLE_STREAMING_DEDUP,
+        "streaming_neardup_index": _streaming_neardup_oracle(),
     }

@@ -890,7 +890,40 @@ def build_dedup_index(
     sigs.join(
         canon.select(F.col(id_col).alias("id"), "canonical_id"), "id"
     ).write.mode("overwrite").parquet(f"{index_dir}/signatures")
+    # parameter manifest: every consumer (incremental_dedup_assign, the
+    # streaming near-dup path) validates its banding parameters against the
+    # ones the index was BUILT with — a silent n/num_hashes/bands mismatch
+    # would bucket against garbage; stored via Spark so the index stays
+    # portable to non-local filesystems
+    spark.createDataFrame(
+        [(int(n), int(num_hashes), int(bands), float(threshold), hash_family)],
+        "n int, num_hashes int, bands int, threshold double, hash_family string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/params")
     return canon
+
+
+def validate_index_params(
+    spark, index_dir: str, *, n: int, num_hashes: int, bands: int,
+    hash_family: str,
+) -> None:
+    """Fail loudly when banding parameters disagree with the persisted index's
+    manifest (:func:`build_dedup_index`). Indexes written before the manifest
+    existed are accepted as-is (the signature-length check in
+    :func:`lsh_buckets_from_signatures` still guards num_hashes)."""
+    try:
+        row = spark.read.parquet(f"{index_dir}/params").head()
+    except Exception:
+        return  # pre-manifest index: length validation still applies
+    got = dict(n=n, num_hashes=num_hashes, bands=bands, hash_family=hash_family)
+    built = dict(
+        n=row["n"], num_hashes=row["num_hashes"], bands=row["bands"],
+        hash_family=row["hash_family"],
+    )
+    if got != built:
+        raise ValueError(
+            f"dedup index at {index_dir} was built with {built}, "
+            f"but caller passed {got}"
+        )
 
 
 def incremental_dedup_assign(
@@ -925,11 +958,16 @@ def incremental_dedup_assign(
     Intra-shard duplicates are deliberately out of scope (the documented
     contract): run :func:`fuzzy_dedup_assign` on the shard first, or fold the
     surviving shard into the next index rebuild. Banding parameters must match
-    the ones the index was built with — signature length is validated by
-    :func:`lsh_buckets_from_signatures` (a mismatched ``num_hashes`` fails the
-    job rather than silently mis-bucketing).
+    the ones the index was built with — validated against the index's params
+    manifest (:func:`validate_index_params`), with signature length
+    additionally checked by :func:`lsh_buckets_from_signatures` (a mismatched
+    ``num_hashes`` fails the job rather than silently mis-bucketing).
     """
     spark = new_docs.sparkSession
+    validate_index_params(
+        spark, index_dir, n=n, num_hashes=num_hashes, bands=bands,
+        hash_family=hash_family,
+    )
     fps = spark.read.parquet(f"{index_dir}/fingerprints")
     sigs = spark.read.parquet(f"{index_dir}/signatures")
     keyed = new_docs.select(id_col, text_col).select("*", *_fp_cols(text_col))

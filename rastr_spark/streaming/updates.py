@@ -237,3 +237,52 @@ def streaming_near_dup_hits(
         F.col("id").alias("ref_id"), "band", "bucket"
     )
     return b.join(ref, ["band", "bucket"]).select("stream_id", "ref_id", "band")
+
+
+def streaming_near_dup_hits_vs_index(
+    stream_docs: DataFrame,
+    index_dir: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Online near-dup detection against the PERSISTED dedup index
+    (:func:`functions.dedup.build_dedup_index`) — the batch and streaming
+    paths share ONE index contract: the stream's banding parameters are
+    validated against the index's params manifest (the same check
+    ``incremental_dedup_assign`` applies), and the reference buckets are
+    recomputed from the stored fixed-width signatures — pure arithmetic, no
+    corpus text, with the signature-length guard on the artifact.
+
+    Emits one row per (arriving doc, colliding indexed rep, band) with the
+    rep's canonical_id — a live feed of "this incoming doc is a near-dup of
+    cluster X" for the ingest firehose.
+    """
+    from ..functions.dedup import (
+        lsh_buckets_from_signatures,
+        validate_index_params,
+    )
+
+    spark = stream_docs.sparkSession
+    validate_index_params(
+        spark, index_dir, n=n, num_hashes=num_hashes, bands=bands,
+        hash_family=hash_family,
+    )
+    sigs = spark.read.parquet(f"{index_dir}/signatures")
+    ref = lsh_buckets_from_signatures(
+        sigs.select("id", "sig"), num_hashes=num_hashes, bands=bands,
+        hash_family=hash_family,
+    ).join(
+        sigs.select("id", "canonical_id"), "id"
+    ).select(F.col("id").alias("ref_id"), "canonical_id", "band", "bucket")
+    b = streaming_minhash_buckets(
+        stream_docs, n=n, num_hashes=num_hashes, bands=bands,
+        id_col=id_col, text_col=text_col, hash_family=hash_family,
+    ).withColumnRenamed("id", "stream_id")
+    return b.join(ref, ["band", "bucket"]).select(
+        "stream_id", "ref_id", "canonical_id", "band"
+    )

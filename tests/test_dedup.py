@@ -431,6 +431,17 @@ class TestIncrementalDedup:
             bands=4, threshold=0.5,
         )
         shard = _docs(spark, [(800, "some new document text with enough words here")])
+        # the params manifest rejects the mismatch up front…
+        with pytest.raises(ValueError, match="was built with"):
+            D.incremental_dedup_assign(
+                shard, idx_docs, index_dir=str(tmp_path / "ix"), n=2,
+                num_hashes=16, bands=4, threshold=0.5,
+            )
+        # …and a pre-manifest index (no params table) still fails on the
+        # signature-length guard instead of silently mis-bucketing
+        import shutil
+
+        shutil.rmtree(tmp_path / "ix" / "params")
         with pytest.raises(Exception, match="signature length"):
             D.incremental_dedup_assign(
                 shard, idx_docs, index_dir=str(tmp_path / "ix"), n=2,

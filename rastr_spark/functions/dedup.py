@@ -591,6 +591,30 @@ def simhash_hamming_pairs_from_table(
     )
 
 
+def _parquet_fence(df: DataFrame, path: str) -> DataFrame:
+    """Write ``df`` to ``path`` unless a committed copy already exists; return
+    the read-back. Commit marker = parquet's ``_SUCCESS`` file (a crashed
+    partial write has none and is overwritten). Local-filesystem check, like
+    CheckpointManager's manifests — a non-local deployment swaps this for a
+    Hadoop ``FileSystem.exists`` probe."""
+    from pathlib import Path as _Path
+
+    if not (_Path(path) / "_SUCCESS").exists():
+        df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
+def _last_committed_round(reliable_dir: str) -> int | None:
+    from pathlib import Path as _Path
+
+    best = None
+    for p in _Path(reliable_dir).glob("labels_r*"):
+        if (p / "_SUCCESS").exists():
+            k = int(p.name[len("labels_r"):])
+            best = k if best is None else max(best, k)
+    return best
+
+
 def connected_components(
     edges: DataFrame,
     *,
@@ -598,6 +622,7 @@ def connected_components(
     dst: str = "id_b",
     max_iters: int = 25,
     metrics: list | None = None,
+    reliable_dir: str | None = None,
 ) -> DataFrame:
     """(node, comp) — comp = the minimum node id in each connected component.
 
@@ -637,17 +662,31 @@ def connected_components(
     convergence telemetry a 100 TB run logs to its checkpoint metrics table so
     mid-clustering progress is observable/resumable (the north-rule lineage
     story applied to the one iterative operator).
+
+    ``reliable_dir``: optional directory for RELIABLE per-round fences. The
+    default localCheckpoint state is fast but dies with its executor — fine
+    locally, but on a cluster a mid-loop executor loss fails the job. With a
+    directory, the edge list and every round's labels are parquet-fenced
+    instead: an executor loss recomputes from files, and a crashed DRIVER
+    resumes at the last committed round on re-invocation (the fuzzy plan's
+    stage fences resume BETWEEN stages; this resumes WITHIN the clustering
+    stage). The dir must be unique per (edge set, parameters) — stale label
+    tables from a different input would poison the resume; callers fold their
+    input fingerprint into the path (see plans.datapipe).
     """
     import time as _time
 
+    reliable = reliable_dir is not None
     # materialize the edge list ONCE before iterating: `edges` typically carries
     # an expensive upstream lineage (LSH + Jaccard verify), and the loop scans
     # it every round — without this checkpoint each round re-executes the
     # post-shuffle tail of that pipeline. Measured on the 210k-doc bench
     # corpus: ~10 s/round → sub-second rounds.
-    edges = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
-        eager=True
-    )
+    edges = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    if reliable:
+        edges = _parquet_fence(edges, f"{reliable_dir}/edges")
+    else:
+        edges = edges.localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("u").alias("node"))
         .unionByName(edges.select(F.col("v").alias("node")))
@@ -655,8 +694,18 @@ def connected_components(
     )
     labels = nodes.withColumn(
         "comp", F.struct(F.xxhash64("node").alias("h"), F.col("node").alias("n"))
-    ).localCheckpoint(eager=True)
-    for round_i in range(max_iters):
+    )
+    start_round = 0
+    if reliable:
+        last = _last_committed_round(reliable_dir)
+        if last is None:
+            labels = _parquet_fence(labels, f"{reliable_dir}/labels_r0")
+        else:
+            labels = edges.sparkSession.read.parquet(f"{reliable_dir}/labels_r{last}")
+            start_round = last
+    else:
+        labels = labels.localCheckpoint(eager=True)
+    for round_i in range(start_round, max_iters):
         t0 = _time.time()
         # quotient edges: one distinct row per adjacent basin pair
         e2 = (
@@ -665,9 +714,13 @@ def connected_components(
             .select("cu", "cv")
             .filter(F.col("cu") != F.col("cv"))
             .distinct()
-        ).localCheckpoint(eager=False)
+        )
+        # reliable mode: persist (fault-tolerant — lost partitions recompute
+        # from the parquet fences) instead of localCheckpoint (which would
+        # reintroduce the executor-loss failure mode the fences remove)
+        e2 = e2.persist() if reliable else e2.localCheckpoint(eager=False)
         # the round's ONE driver action: materializes e2 (and, transitively,
-        # this round's lazily-checkpointed labels) and tests the fixpoint
+        # this round's lazily-checkpointed tables) and tests the fixpoint
         n_cross = e2.count()
         if metrics is not None:
             metrics.append(
@@ -675,6 +728,8 @@ def connected_components(
                  "wall_sec": round(_time.time() - t0, 4)}
             )
         if n_cross == 0:
+            if reliable:
+                e2.unpersist()
             # translate the hash-order component winners to min NODE ids:
             # deterministic canonical labels, independent of the hash
             roots = labels.groupBy("comp").agg(F.min("node").alias("_root"))
@@ -699,10 +754,16 @@ def connected_components(
             )
             .select("cu", F.coalesce("_mm", F.col("mv")).alias("mv"))
         )
-        labels = (
-            labels.join(m.withColumnRenamed("cu", "comp"), "comp", "left")
-            .select("node", F.coalesce("mv", F.col("comp")).alias("comp"))
-        ).localCheckpoint(eager=False)
+        labels = labels.join(m.withColumnRenamed("cu", "comp"), "comp", "left").select(
+            "node", F.coalesce("mv", F.col("comp")).alias("comp")
+        )
+        if reliable:
+            # the write is the round's commit point: a crash before it
+            # re-runs this round from labels_r{i}; after it, resume skips here
+            labels = _parquet_fence(labels, f"{reliable_dir}/labels_r{round_i + 1}")
+            e2.unpersist()
+        else:
+            labels = labels.localCheckpoint(eager=False)
     raise RuntimeError(
         f"connected_components did not converge in {max_iters} rounds — "
         "raise max_iters (basin contraction needs ~log2(n) rounds)"

@@ -22,6 +22,8 @@ the fuzzy pass, and one final join back to the annotations.
 
 from __future__ import annotations
 
+from pathlib import Path
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -203,7 +205,18 @@ def fuzzy_dedup_checkpointed(
 
     def build_components() -> DataFrame:
         rounds: list[dict] = []
-        comp = connected_components(edges_stage.df, max_iters=max_iters, metrics=rounds)
+        # reliable per-round fences (the stage fence resumes BETWEEN stages;
+        # this resumes WITHIN clustering — a mid-round crash of a 100 TB job
+        # restarts at the last committed round, not at round 0). The dir is
+        # keyed by the effective fingerprint so a parameter change can never
+        # resume from another run's label tables.
+        import hashlib
+
+        cc_dir = str(Path(ckpt_dir) / f"cc_rounds_{hashlib.md5(eff_fp.encode()).hexdigest()[:16]}")
+        comp = connected_components(
+            edges_stage.df, max_iters=max_iters, metrics=rounds,
+            reliable_dir=cc_dir,
+        )
         cm.record_round_metrics(spark, "dedup_components", rounds, run_fp=eff_fp)
         return comp
 

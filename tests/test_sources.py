@@ -92,6 +92,44 @@ class TestCheckpoint:
         assert both.select("run_fp").distinct().count() == 2
         assert both.filter(F.col("run_fp") == "fp-A").count() == len(rounds)
 
+    def test_cc_reliable_fences_resume_mid_round(self, spark, tmp_path, monkeypatch):
+        # reliable_dir swaps localCheckpoints for parquet fences: a driver
+        # crash mid-clustering resumes at the last COMMITTED round instead of
+        # round 0, and the result is identical to the volatile-mode run
+        # (VERDICT r5 item 6)
+        import pytest
+
+        import rastr_spark.functions.dedup as dd
+
+        edges = spark.createDataFrame(
+            [(i * 37 % 1009, (i + 1) * 37 % 1009) for i in range(200)],
+            "id_a long, id_b long",
+        )
+        want = {
+            (r["node"], r["comp"])
+            for r in dd.connected_components(edges).collect()
+        }
+
+        rel = str(tmp_path / "cc_rounds")
+        orig = dd._parquet_fence
+
+        def crashing(df, path):
+            out = orig(df, path)
+            if path.endswith("labels_r2"):
+                raise RuntimeError("simulated driver crash after committing round 2")
+            return out
+
+        monkeypatch.setattr(dd, "_parquet_fence", crashing)
+        with pytest.raises(RuntimeError, match="simulated driver crash"):
+            dd.connected_components(edges, reliable_dir=rel)
+
+        monkeypatch.setattr(dd, "_parquet_fence", orig)
+        rounds: list[dict] = []
+        got = dd.connected_components(edges, reliable_dir=rel, metrics=rounds)
+        assert {(r["node"], r["comp"]) for r in got.collect()} == want
+        # resumed at the committed round, not from scratch
+        assert rounds and rounds[0]["round"] == 2
+
 
 class TestRasterIO:
     def test_parquet_roundtrip(self, spark, tmp_path, base_raster):

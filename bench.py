@@ -164,6 +164,44 @@ def main():
     all_walls["flagship_doc_zonal"] = walls
     docs_per_sec = n_docs / t_flagship
 
+    # -- flagship under a hot-tile distribution (VERDICT r5 item 3) -------------
+    # ~20% of docs get ALL their media refs rewritten to ONE tile — the
+    # Zipfian-web shape the sampled salt pre-pass exists for. The salted wall
+    # should stay ≈ the uniform flagship line (ratio ~1) while the unsalted run
+    # pays the single-reducer hot key; both are recorded so the gap is evidence,
+    # not an assertion.
+    hot_ref = F.lit(f"{rf.raster_id}/0/0")
+    skew_docs_df = docs.withColumn(
+        "spans",
+        F.when(
+            F.xxhash64("doc_id") % 5 == 0,
+            F.transform(
+                "spans",
+                lambda s: F.struct(
+                    s["kind"].alias("kind"),
+                    s["text"].alias("text"),
+                    F.when(s["kind"] == "media", hot_ref)
+                    .otherwise(s["media_ref"])
+                    .alias("media_ref"),
+                    s["offset"].alias("offset"),
+                ),
+            ),
+        ).otherwise(F.col("spans")),
+    )
+    skew_docs_df.write.mode("overwrite").parquet(f"{docs_dir}/documents_skew")
+    skew_docs = spark.read.parquet(f"{docs_dir}/documents_skew")
+    t_fskew, walls = timed(
+        lambda: doc_zonal_stats(skew_docs, rf, zones, salt_threshold=20000).count(),
+        reps=max(REPS, 5),
+    )
+    results["flagship_skew_salted"] = round(t_fskew, 3)
+    all_walls["flagship_skew_salted"] = walls
+    t_fskew_un, walls = timed(
+        lambda: doc_zonal_stats(skew_docs, rf, zones, salt_threshold=None).count(),
+    )
+    results["flagship_skew_unsalted"] = round(t_fskew_un, 3)
+    all_walls["flagship_skew_unsalted"] = walls
+
     # -- stencil family at raster scale: 4096² = 16.8M cells, 4096 tiles --------
     # the halo-exchange path measured on the big bench raster (the sf-table
     # rasters are 64² — too small to evidence the strip-shuffle design). Blur
@@ -377,6 +415,22 @@ def main():
     results["pipeline_curate_200k"] = round(t_curate, 3)
     all_walls["pipeline_curate_200k"] = walls
 
+    # -- composed curation at 1M (VERDICT r5 item 5) -----------------------------
+    # fuzzy has its 1M line; this measures the thing a training-data owner
+    # actually runs — the full gate→dedup→budget→keep pipeline — at the same
+    # corpus size, reusing the fuzzy_1m corpus.
+    t_curate_1m, walls = timed(
+        lambda: curate_corpus(
+            fuzzy_corpus_1m, min_quality=0.5, langs=("en", "unk"), n=3,
+            num_hashes=8, bands=4, jaccard_threshold=0.8, max_bucket_size=1000,
+        )
+        .filter(F.col("keep"))
+        .agg(F.count("*"), F.sum("bpe_tokens"))
+        .collect()
+    )
+    results["pipeline_curate_1m"] = round(t_curate_1m, 3)
+    all_walls["pipeline_curate_1m"] = walls
+
     # -- streaming micro-bench: file source → availableNow drain ----------------
     # throughput evidence for the streaming family (VERDICT r3 item 6): 100k rows
     # through the bounded-state exact dedup, and through the stream-static LSH
@@ -475,6 +529,9 @@ def main():
         "fuzzy_1m_docs_per_sec": round(n_fuzzy_1m / t_fuzzy_1m, 1),
         "fuzzy_1m_cc_rounds": len(cc_rounds_1m),
         "curate_docs_per_sec": round(n_fuzzy / t_curate, 1),
+        "curate_1m_docs_per_sec": round(n_fuzzy_1m / t_curate_1m, 1),
+        "flagship_skew_vs_uniform_ratio": round(t_fskew / t_flagship, 2),
+        "flagship_unsalted_vs_salted_ratio": round(t_fskew_un / t_fskew, 2),
         "media_rows": n_media,
         "media_decode_rows_per_sec": round(n_media / t_media, 1),
         "stream_docs": n_stream,

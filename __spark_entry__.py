@@ -2028,6 +2028,61 @@ SELECT DISTINCT text, length(text)::BIGINT AS text_len FROM documents
 """
 
 
+def _q_streaming_window_stats(spark, sf_dir):
+    """Watermarked tumbling-window per-tile stats over a synthetic cell-update
+    stream derived from lineitem (deterministic ts/row/col/value), drained with
+    availableNow in complete mode (append would emit only watermark-finalized
+    windows). The oracle replays the 1-minute window and tile bucketing as
+    plain GROUP BY — watermark semantics reduce to it because every synthetic
+    ts lies within one horizon (no late-drop ambiguity in a bounded drain)."""
+    from rastr_spark.streaming.updates import windowed_tile_stats
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    li = _read(spark, sf_dir, "lineitem")
+    src = li.select(
+        F.timestamp_seconds(F.lit(_STREAM_EPOCH) + F.col("l_orderkey") % 300).alias("ts"),
+        (F.col("l_partkey") % 512).cast("int").alias("row"),
+        (F.col("l_suppkey") % 512).cast("int").alias("col"),
+        F.col("l_quantity").cast("double").alias("value"),
+    )
+    path = f"{_ORACLE_ART_DIR}/stream_updates_src"
+    src.repartition(4).write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema("ts timestamp, row int, col int, value double").parquet(path)
+    stats = windowed_tile_stats(stream, tile_size=256, window="1 minute", watermark="2 minutes")
+    import uuid as _uuid
+
+    name = f"swin_{_uuid.uuid4().hex[:10]}"
+    q = (
+        stats.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.unix_timestamp("window_start").alias("win_epoch"),
+        "tile_row", "tile_col", "cnt",
+        F.round("s", 6).alias("s"),
+        F.round("mean", 6).alias("mean"),
+        "mn", "mx",
+    )
+
+
+_ORACLE_STREAMING_WINDOW = f"""
+SELECT (({_STREAM_EPOCH} + l_orderkey % 300) // 60) * 60 AS win_epoch,
+       ((l_partkey % 512) // 256)::INT AS tile_row,
+       ((l_suppkey % 512) // 256)::INT AS tile_col,
+       count(*) AS cnt,
+       round(sum(l_quantity::DOUBLE), 6) AS s,
+       round(sum(l_quantity::DOUBLE) / count(*), 6) AS mean,
+       min(l_quantity::DOUBLE) AS mn,
+       max(l_quantity::DOUBLE) AS mx
+FROM lineitem
+GROUP BY 1, 2, 3
+"""
+
+
 def _q_streaming_neardup_index(spark, sf_dir):
     """Streaming near-dup detection against the PERSISTED dedup index — the
     batch (build_dedup_index) and streaming (streaming_near_dup_hits_vs_index)
@@ -2165,6 +2220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hits as a stream-static join against the persisted dedup index
         "streaming_dedup_exact": _q_streaming_dedup,
         "streaming_neardup_index": _q_streaming_neardup_index,
+        "streaming_window_stats": _q_streaming_window_stats,
     }
 
 
@@ -2217,4 +2273,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental": _incremental_oracle(),
         "streaming_dedup_exact": _ORACLE_STREAMING_DEDUP,
         "streaming_neardup_index": _streaming_neardup_oracle(),
+        "streaming_window_stats": _ORACLE_STREAMING_WINDOW,
     }

@@ -586,6 +586,28 @@ class TestExtrapolateCappedRounds:
         # pure doubling capped at the diagonal proof radius
         assert calls == [8, 16, 32, 64, 91], calls
 
+    def test_fallback_and_summary_paths_agree(self, spark, monkeypatch):
+        # the doubling fallback and the exact-radius summary plan are two
+        # routes to the same semantics — byte-identical output on a random
+        # sparse raster
+        import numpy as np
+
+        import rastr_spark.operators.stencils as st
+        from rastr_spark.meta import Affine, RasterMeta
+        from rastr_spark.tiles import RasterFrame
+
+        rng = np.random.RandomState(11)
+        H = W = 80
+        arr = np.full((H, W), np.nan)
+        pts = rng.choice(H * W, 25, replace=False)
+        arr[pts // W, pts % W] = rng.rand(25) * 10
+        meta = RasterMeta(1.0, "EPSG:2193", Affine(1, 0, 0, 0, -1, H), H, W, tile_size=16)
+        rf = RasterFrame.from_numpy(spark, arr, meta)
+        want = st.extrapolate(rf).to_numpy()
+        monkeypatch.setattr(st, "EXTRAPOLATE_SUMMARY_MAX_TARGETS", 0)
+        got = st.extrapolate(rf).to_numpy()
+        np.testing.assert_array_equal(got, want)
+
     def test_single_corner_donor_fills_entire_grid(self, spark):
         # regression: the proof radius must reach the grid DIAGONAL — with
         # max(H, W) a lone corner donor left the far corner NaN (820 cells on

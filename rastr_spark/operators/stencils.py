@@ -500,10 +500,10 @@ def _donor_tile_summary(rf: RasterFrame) -> DataFrame:
     cells nearest the tile CENTRE and each of the 4 tile CORNERS, in GLOBAL
     (row, col) coordinates (duplicates collapsed).
 
-    Single JVM pass (``transform`` + ``array_min`` per anchor — struct
-    ordering gives min anchor-distance, ties → lowest row-major index), no
-    shuffle: the coarse "where are the donors" table the exact-radius round
-    is planned from. Five representatives keep the radius bound tight for
+    Single JVM pass (``transform`` + ``array_min`` per anchor — the packed
+    d2·T²+i long orders by min anchor-distance, ties → lowest row-major
+    index), no shuffle: the coarse "where are the donors" table the
+    exact-radius round is planned from. Five representatives keep the radius bound tight for
     the common shapes (a small hole inside a donor-rich tile sees the
     centre-nearest donor; a donor band along one edge sees its corner
     donors); the residual slack is paid only in window size, never in
@@ -523,16 +523,19 @@ def _donor_tile_summary(rf: RasterFrame) -> DataFrame:
         (2 * (th_c - 1), F.lit(0)),
         (2 * (th_c - 1), 2 * (tw_c - 1)),
     ]
+    # (d2, i) packed into ONE long — d2·T² + i orders lexicographically
+    # because i < th·tw ≤ T² (and d2 ≤ 8(T−1)² keeps the product far below
+    # 2⁶³ for any real tile size); primitive long candidate arrays make the
+    # five array_min passes several times cheaper than struct candidates
+    mult = F.lit(int(Tsz) * int(Tsz)).cast("long")
+
     def make_cand(ar, ac):
         def cand(v, i):
             r = F.floor(i / tw_c).cast("long")
             c = (i % tw_c).cast("long")
             dr = 2 * r - ar
             dc = 2 * c - ac
-            return F.when(
-                ~F.isnan(v),
-                F.struct((dr * dr + dc * dc).alias("d2"), i.cast("int").alias("i")),
-            )
+            return F.when(~F.isnan(v), (dr * dr + dc * dc) * mult + i)
 
         return cand
 
@@ -540,7 +543,7 @@ def _donor_tile_summary(rf: RasterFrame) -> DataFrame:
         F.array_min(F.transform("values", make_cand(ar, ac))) for ar, ac in anchors
     ]
 
-    idxs = F.array_distinct(F.array(*[b.getField("i") for b in bests]))
+    idxs = F.array_distinct(F.array(*[(b % mult).cast("int") for b in bests]))
     return (
         df.select("tile_row", "tile_col", "th", "tw", idxs.alias("idxs"))
         .filter(F.col("idxs")[0].isNotNull())
@@ -559,14 +562,60 @@ def _donor_tile_summary(rf: RasterFrame) -> DataFrame:
 
 
 def _nan_tile_flags(df: DataFrame, meta: RasterMeta) -> DataFrame:
-    """(tile_row, tile_col, rmin, rmax, cmin, cmax) for every tile with ≥1 NaN
-    cell — the tile-LOCAL bounding box of its NaN cells, computed in one JVM
-    pass. The exact-radius round plans its window from this box, so a small
-    hole in a big tile gathers a hole-sized window, not a tile-sized one."""
+    """(tile_row, tile_col, max_run) for every tile with ≥1 NaN cell —
+    ``max_run`` is the longest NaN run of the row-major values array, or NULL
+    when the longest run reaches the tile width (it may then cover a full
+    row, so it is no same-row donor bound).
+
+    A flat run of length L < tile width never crosses a full row, so every
+    cell in it has a same-row donor within L — a PROVEN radius from this one
+    pass alone. For the dense-raster-with-scattered-holes shape (blur's
+    preserve_nan pre-pass on real rasters) that settles every tile without
+    the donor summary, and the radius is the hole size, not ~half a tile
+    diagonal. One packed-long ``aggregate`` ((cur, max) in one 62-bit long),
+    no struct allocation, no shuffle."""
     th, tw = tile_dims_cols(meta)
     base = df.select(
-        "tile_row", "tile_col", th.alias("th"), tw.alias("tw"), "values"
+        "tile_row", "tile_col", tw.alias("tw"), "values"
     ).filter(F.exists("values", lambda v: F.isnan(v)))
+    tw_c = F.col("tw")
+    mask = F.lit((1 << 31) - 1).cast("long")
+
+    def step(acc, v):
+        cur2 = (
+            F.when(F.isnan(v), F.shiftright(acc, 31) + 1)
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+        return F.shiftleft(cur2, 31) + F.greatest(acc.bitwiseAND(mask), cur2)
+
+    run = F.aggregate(
+        "values",
+        F.lit(0).cast("long"),
+        step,
+        lambda acc: F.greatest(acc.bitwiseAND(mask), F.shiftright(acc, 31)),
+    )
+    return base.select(
+        "tile_row",
+        "tile_col",
+        F.when(run < tw_c, run).cast("int").alias("max_run"),
+    )
+
+
+def _nan_tile_bbox(df: DataFrame, meta: RasterMeta, keys: DataFrame) -> DataFrame:
+    """(tile_row, tile_col, rmin, rmax, cmin, cmax) — the tile-LOCAL NaN
+    bounding box, computed ONLY for the given key tiles (broadcast semi-join;
+    the rep-bound path's input, so a small hole in a big tile still gathers
+    a hole-sized window)."""
+    th, tw = tile_dims_cols(meta)
+    base = (
+        df.join(
+            F.broadcast(keys.select("tile_row", "tile_col")),
+            ["tile_row", "tile_col"],
+            "left_semi",
+        )
+        .select("tile_row", "tile_col", tw.alias("tw"), "values")
+    )
     tw_c = F.col("tw")
     nan_i = F.transform("values", lambda v, i: F.when(F.isnan(v), i))
     nan_c = F.transform("values", lambda v, i: F.when(F.isnan(v), i % tw_c))
@@ -626,15 +675,17 @@ def extrapolate(rf: RasterFrame, method: str = "nearest") -> RasterFrame:
     """NaN → nearest non-NaN by Euclidean index distance, ties → lowest (row, col)
     (reference src/rastr/raster.py:1290-1309 + arr/fill.py:11-32).
 
-    Two-level plan (SURVEY §2.2): three cheap JVM map passes over the original
-    raster — NaN-tile flags (+ NaN bbox), donor-tile summary (5 reps/tile),
-    and a tiles×tiles broadcast-nested-loop min — give every NaN tile an
-    EXACT proven-sufficient radius, and ONE targeted stencil round at
-    per-tile radius finishes, always filling from the ORIGINAL raster (scipy
-    NearestNDInterpolator semantics: chained propagation would drift).
-    NaN-free tiles never enter the shuffle at all. All-NaN rasters return
-    unchanged. A halo-doubling fallback covers the adversarial case where
-    the NaN-tile set itself is too big to broadcast.
+    Two-level plan (SURVEY §2.2): cheap JVM map passes over the original
+    raster give every NaN tile an EXACT proven-sufficient radius — the
+    NaN-run bound from the flags pass alone when the tile's holes are small
+    (the common dense-raster shape: no donor summary at all), a 5-rep
+    donor-summary broadcast-nested-loop min only for tiles without a valid
+    run bound — and ONE targeted stencil round at per-tile radius finishes,
+    always filling from the ORIGINAL raster (scipy NearestNDInterpolator
+    semantics: chained propagation would drift). NaN-free tiles never enter
+    the shuffle at all. All-NaN rasters return unchanged. A halo-doubling
+    fallback covers the adversarial case where the NaN-tile set itself is
+    too big to broadcast.
     """
     if method not in ("nearest",):
         raise NotImplementedError(f"Unsupported extrapolation method: {method}")
@@ -647,14 +698,23 @@ def extrapolate(rf: RasterFrame, method: str = "nearest") -> RasterFrame:
     max_h = int(math.ceil(math.hypot(meta.height, meta.width)))
     has_nan = F.exists("values", lambda v: F.isnan(v))
 
+    cur_df = rf.df  # the table remaining-NaN bboxes are read from
     flags = _nan_tile_flags(rf.df, meta).localCheckpoint(eager=False)
     n_targets = flags.count()
     if not n_targets:  # no NaN anywhere — nothing to fill
         return RasterFrame(rf.df, meta, rf.raster_id)
-    summary = _donor_tile_summary(rf).localCheckpoint(eager=False)
-    donor_reps = summary.count()
-    if not donor_reps:  # all-NaN raster: reference returns it unchanged
-        return RasterFrame(rf.df, meta, rf.raster_id)
+
+    # the donor summary is computed lazily: tiles whose run bound is valid
+    # never need it, and for the dense-holes shape that is ALL of them
+    summary = None
+    donor_reps = 0
+
+    def get_summary():
+        nonlocal summary, donor_reps
+        if summary is None:
+            summary = _donor_tile_summary(rf).localCheckpoint(eager=False)
+            donor_reps = summary.count()
+        return summary, donor_reps
 
     out_df = rf.df
     if n_targets > EXTRAPOLATE_SUMMARY_MAX_TARGETS:
@@ -665,6 +725,8 @@ def extrapolate(rf: RasterFrame, method: str = "nearest") -> RasterFrame:
         # per-round plan — lineage stays one round deep however many rounds
         # run. Exits into the exact-radius round as soon as the remaining
         # set shrinks under the bound.
+        if get_summary()[1] == 0:  # all-NaN raster: returned unchanged
+            return RasterFrame(rf.df, meta, rf.raster_id)
         h = 8
         targets = flags.select("tile_row", "tile_col")
         for _ in range(64):  # 2^64 cells ≫ any grid; exits via remaining == 0
@@ -680,15 +742,32 @@ def extrapolate(rf: RasterFrame, method: str = "nearest") -> RasterFrame:
                 return RasterFrame(out_df, meta, rf.raster_id)
             if n_targets <= EXTRAPOLATE_SUMMARY_MAX_TARGETS:
                 flags = flags.localCheckpoint(eager=True)
+                cur_df = out_df
                 break
             targets = flags.select("tile_row", "tile_col")
             h = min(h * 2, max_h)
 
-    # exact-radius round: donor summary → per-tile proven radius → ONE
-    # targeted round (two-pass kernel, grid-clipped windows)
-    radii = _exact_target_radii(
-        flags, summary, meta, max_h, broadcast_flags=n_targets <= donor_reps
+    # exact-radius round: run-bound radii from the flags pass alone; tiles
+    # without a valid run bound get their NaN bbox (second pass over just
+    # those tiles) and the donor-summary broadcast-nested-loop min — then
+    # ONE targeted round (two-pass kernel, grid-clipped windows)
+    run_radii = flags.filter(F.col("max_run").isNotNull()).select(
+        "tile_row", "tile_col",
+        F.greatest(F.lit(1), F.least("max_run", F.lit(max_h))).cast("int").alias("h"),
     )
+    need_rep = flags.filter(F.col("max_run").isNull()).localCheckpoint(eager=False)
+    n_need = need_rep.count()
+    if n_need:
+        _, reps = get_summary()
+        if reps == 0:  # all-NaN raster: reference returns it unchanged
+            return RasterFrame(out_df, meta, rf.raster_id)
+        bbox = _nan_tile_bbox(cur_df, meta, need_rep)
+        rep_radii = _exact_target_radii(
+            bbox, summary, meta, max_h, broadcast_flags=n_need <= reps
+        )
+        radii = run_radii.unionByName(rep_radii)
+    else:
+        radii = run_radii
     filled = stencil_apply(rf, None, make_kernel(None), targets=radii, clip_to_grid=True)
     out_df = out_df.filter(~has_nan).unionByName(filled.df)
     return RasterFrame(out_df, meta, rf.raster_id)

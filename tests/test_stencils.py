@@ -586,6 +586,39 @@ class TestExtrapolateCappedRounds:
         # pure doubling capped at the diagonal proof radius
         assert calls == [8, 16, 32, 64, 91], calls
 
+    def test_dense_with_scattered_holes_uses_run_bound(self, spark):
+        # the dense-raster-with-small-holes shape (every tile flagged, donors
+        # everywhere): the per-tile radius must come from the NaN-run bound
+        # (hole-sized), not the rep bound (~half a tile diagonal) — the shape
+        # blur's preserve_nan pre-pass hits on real rasters
+        import numpy as np
+
+        import rastr_spark.operators.stencils as st
+        from rastr_spark.meta import Affine, RasterMeta
+        from rastr_spark.tiles import RasterFrame
+
+        rng = np.random.RandomState(7)
+        H = W = 64
+        arr = rng.rand(H, W)
+        holes = rng.choice(H * W, 40, replace=False)  # ~1% scattered NaN
+        arr[holes // W, holes % W] = np.nan
+        meta = RasterMeta(1.0, "EPSG:2193", Affine(1, 0, 0, 0, -1, H), H, W, tile_size=16)
+        rf = RasterFrame.from_numpy(spark, arr, meta)
+        flags = st._nan_tile_flags(rf.df, meta).collect()
+        runs = [r["max_run"] for r in flags]
+        # every flagged tile has a VALID hole-sized run bound → the donor
+        # summary is never computed for this shape
+        assert runs and all(m is not None and m <= 8 for m in runs), runs
+        # and the fill itself stays exact
+        out = rf.extrapolate().to_numpy()
+        donors = np.argwhere(~np.isnan(arr))
+        nan_cells = np.argwhere(np.isnan(arr))
+        for r, c in nan_cells:
+            d = (donors[:, 0] - r) ** 2 + (donors[:, 1] - c) ** 2
+            cand = donors[d == d.min()]
+            cand = cand[np.lexsort((cand[:, 1], cand[:, 0]))]
+            assert out[r, c] == arr[cand[0, 0], cand[0, 1]], (r, c)
+
     def test_fallback_and_summary_paths_agree(self, spark, monkeypatch):
         # the doubling fallback and the exact-radius summary plan are two
         # routes to the same semantics — byte-identical output on a random

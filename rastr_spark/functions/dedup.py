@@ -591,27 +591,34 @@ def simhash_hamming_pairs_from_table(
     )
 
 
+def _hadoop_fs(spark, path: str):
+    """(FileSystem, Path) for ``path`` via Spark's Hadoop conf — the fence
+    probes below work on ANY Spark filesystem (HDFS/S3A/local), not just the
+    driver's local disk."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
 def _parquet_fence(df: DataFrame, path: str) -> DataFrame:
     """Write ``df`` to ``path`` unless a committed copy already exists; return
     the read-back. Commit marker = parquet's ``_SUCCESS`` file (a crashed
-    partial write has none and is overwritten). Local-filesystem check, like
-    CheckpointManager's manifests — a non-local deployment swaps this for a
-    Hadoop ``FileSystem.exists`` probe."""
-    from pathlib import Path as _Path
-
-    if not (_Path(path) / "_SUCCESS").exists():
+    partial write has none and is overwritten)."""
+    spark = df.sparkSession
+    fs, marker = _hadoop_fs(spark, f"{path}/_SUCCESS")
+    if not fs.exists(marker):
         df.write.mode("overwrite").parquet(path)
-    return df.sparkSession.read.parquet(path)
+    return spark.read.parquet(path)
 
 
-def _last_committed_round(reliable_dir: str) -> int | None:
-    from pathlib import Path as _Path
-
+def _last_committed_round(spark, reliable_dir: str) -> int | None:
+    fs, glob = _hadoop_fs(spark, f"{reliable_dir}/labels_r*/_SUCCESS")
     best = None
-    for p in _Path(reliable_dir).glob("labels_r*"):
-        if (p / "_SUCCESS").exists():
-            k = int(p.name[len("labels_r"):])
-            best = k if best is None else max(best, k)
+    for status in fs.globStatus(glob) or []:
+        name = status.getPath().getParent().getName()
+        k = int(name[len("labels_r"):])
+        best = k if best is None else max(best, k)
     return best
 
 
@@ -697,7 +704,7 @@ def connected_components(
     )
     start_round = 0
     if reliable:
-        last = _last_committed_round(reliable_dir)
+        last = _last_committed_round(edges.sparkSession, reliable_dir)
         if last is None:
             labels = _parquet_fence(labels, f"{reliable_dir}/labels_r0")
         else:

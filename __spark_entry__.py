@@ -2051,15 +2051,10 @@ def _q_streaming_window_stats(spark, sf_dir):
     stats = windowed_tile_stats(stream, tile_size=256, window="1 minute", watermark="2 minutes")
     import uuid as _uuid
 
+    from rastr_spark.streaming.updates import run_to_memory
+
     name = f"swin_{_uuid.uuid4().hex[:10]}"
-    q = (
-        stats.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    run_to_memory(stats, name).awaitTermination()
     return spark.table(name).select(
         F.unix_timestamp("window_start").alias("win_epoch"),
         "tile_row", "tile_col", "cnt",

@@ -260,7 +260,7 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     if fmt is None or samples is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_fmt, n_ch, rate, bits = fmt
-    if bits % 8 == 0 and len(samples) % (bits // 8) != 0:
+    if bits >= 8 and bits % 8 == 0 and len(samples) % (bits // 8) != 0:
         raise ValueError(
             f"truncated WAV: data length {len(samples)} is not a multiple of "
             f"the {bits // 8}-byte sample size"

@@ -975,13 +975,14 @@ def validate_index_params(
     hash_family: str,
 ) -> None:
     """Fail loudly when banding parameters disagree with the persisted index's
-    manifest (:func:`build_dedup_index`). Indexes written before the manifest
-    existed are accepted as-is (the signature-length check in
-    :func:`lsh_buckets_from_signatures` still guards num_hashes)."""
-    try:
-        row = spark.read.parquet(f"{index_dir}/params").head()
-    except Exception:
+    manifest (:func:`build_dedup_index`). Only a MISSING manifest is accepted
+    (pre-manifest index — the signature-length check in
+    :func:`lsh_buckets_from_signatures` still guards num_hashes); a corrupt
+    or unreadable one propagates, never silently skips validation."""
+    fs, marker = _hadoop_fs(spark, f"{index_dir}/params")
+    if not fs.exists(marker):
         return  # pre-manifest index: length validation still applies
+    row = spark.read.parquet(f"{index_dir}/params").head()
     got = dict(n=n, num_hashes=num_hashes, bands=bands, hash_family=hash_family)
     built = dict(
         n=row["n"], num_hashes=row["num_hashes"], bands=row["bands"],

@@ -629,28 +629,16 @@ def _nan_tile_bbox(df: DataFrame, meta: RasterMeta, keys: DataFrame) -> DataFram
     )
 
 
-def _exact_target_radii(
-    flags: DataFrame, summary: DataFrame, meta: RasterMeta, max_h: int,
-    *, broadcast_flags: bool,
-) -> DataFrame:
-    """(tile_row, tile_col, h) for every NaN tile: a PROVEN-sufficient per-tile
-    radius from the donor summary and the tile's NaN bounding box.
+# pair-count bound above which _exact_target_radii switches from the single
+# cross join to the Chebyshev-ring-doubling join: with BOTH sides large
+# (~10⁶ rep-needing tiles × ~10⁷ donor reps on a sparse mega-raster) the
+# broadcast-nested-loop cross would generate ~10¹³ pair rows — the planner
+# itself becoming the scale-killer the plan exists to avoid
+EXTRAPOLATE_RADII_MAX_PAIRS = 64_000_000
 
-    For a fixed donor position, distance over the NaN bbox rectangle is convex
-    and separable, so its max is max-over-row-interval + max-over-col-interval;
-    min over donor reps of that corner-max bounds every NaN cell's nearest-donor
-    distance from above (the rep IS a real donor). Broadcast-nested-loop join
-    with the smaller side broadcast, partial-aggregated min per target — the
-    only shuffle carries one row per remaining tile."""
-    Tsz = meta.tile_size
-    t = flags.select(
-        F.col("tile_row").alias("ttr"), F.col("tile_col").alias("ttc"),
-        "rmin", "rmax", "cmin", "cmax",
-    )
-    if broadcast_flags:
-        j = F.broadcast(t).crossJoin(summary)
-    else:
-        j = t.crossJoin(F.broadcast(summary))
+
+def _radii_from_pairs(j, Tsz: int, max_h: int) -> DataFrame:
+    """min corner-max distance per target over (target × donor-rep) pair rows."""
     gr0 = F.col("ttr").cast("long") * Tsz + F.col("rmin")
     gr1 = F.col("ttr").cast("long") * Tsz + F.col("rmax")
     gc0 = F.col("ttc").cast("long") * Tsz + F.col("cmin")
@@ -669,6 +657,67 @@ def _exact_target_radii(
             ).cast("int").alias("h"),
         )
     )
+
+
+def _exact_target_radii(
+    flags: DataFrame, summary: DataFrame, meta: RasterMeta, max_h: int,
+    *, broadcast_flags: bool, ring: bool = False,
+) -> DataFrame:
+    """(tile_row, tile_col, h) for every NaN tile: a PROVEN-sufficient per-tile
+    radius from the donor summary and the tile's NaN bounding box.
+
+    For a fixed donor position, distance over the NaN bbox rectangle is convex
+    and separable, so its max is max-over-row-interval + max-over-col-interval;
+    min over donor reps of that corner-max bounds every NaN cell's nearest-donor
+    distance from above (the rep IS a real donor). Broadcast-nested-loop join
+    with the smaller side broadcast, partial-aggregated min per target — the
+    only shuffle carries one row per remaining tile.
+
+    ``ring``: bound the pair count when BOTH sides are large — iterate a
+    Chebyshev tile-ring join (targets × reps within K tile rings, K×4 per
+    pass) instead of the full cross product; any in-ring rep still yields a
+    valid upper bound (every rep is a real donor), only possibly looser than
+    the global min, and targets resolve as soon as a ring contains a donor.
+    Each pass streams the summary once against the broadcast unresolved set."""
+    Tsz = meta.tile_size
+    t = flags.select(
+        F.col("tile_row").alias("ttr"), F.col("tile_col").alias("ttc"),
+        "rmin", "rmax", "cmin", "cmax",
+    )
+    if not ring:
+        if broadcast_flags:
+            j = F.broadcast(t).crossJoin(summary)
+        else:
+            j = t.crossJoin(F.broadcast(summary))
+        return _radii_from_pairs(j, Tsz, max_h)
+
+    rep_tr = F.floor(F.col("rep_r") / Tsz)
+    rep_tc = F.floor(F.col("rep_c") / Tsz)
+    max_ring = max(1, math.ceil(max_h / Tsz)) + 1
+    unresolved = t.localCheckpoint(eager=True)
+    parts = []
+    K = 4
+    while True:
+        in_ring = (F.abs(rep_tr - F.col("ttr")) <= K) & (
+            F.abs(rep_tc - F.col("ttc")) <= K
+        )
+        j = F.broadcast(unresolved).join(summary, in_ring)
+        part = _radii_from_pairs(j, Tsz, max_h).localCheckpoint(eager=True)
+        parts.append(part)
+        unresolved = unresolved.join(
+            part.select(
+                F.col("tile_row").alias("ttr"), F.col("tile_col").alias("ttc")
+            ),
+            ["ttr", "ttc"],
+            "left_anti",
+        ).localCheckpoint(eager=True)
+        if not unresolved.count() or K >= max_ring:
+            break
+        K *= 4
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def extrapolate(rf: RasterFrame, method: str = "nearest") -> RasterFrame:
@@ -698,7 +747,6 @@ def extrapolate(rf: RasterFrame, method: str = "nearest") -> RasterFrame:
     max_h = int(math.ceil(math.hypot(meta.height, meta.width)))
     has_nan = F.exists("values", lambda v: F.isnan(v))
 
-    cur_df = rf.df  # the table remaining-NaN bboxes are read from
     flags = _nan_tile_flags(rf.df, meta).localCheckpoint(eager=False)
     n_targets = flags.count()
     if not n_targets:  # no NaN anywhere — nothing to fill
@@ -735,16 +783,32 @@ def extrapolate(rf: RasterFrame, method: str = "nearest") -> RasterFrame:
                 clip_to_grid=h > 32,
             )
             out_df = out_df.filter(~has_nan).unionByName(filled.df)
+            # rebinding out_df each round drops the previous round's
+            # reference: its localCheckpoint blocks are reclaimed by the
+            # ContextCleaner once this round's checkpoint materializes (the
+            # old .cache() loop needed an explicit unpersist; checkpoint
+            # blocks are GC-owned)
             out_df = out_df.localCheckpoint(eager=False)
-            flags = _nan_tile_flags(out_df, meta)
-            n_targets = flags.count()  # one job: materializes the checkpoint
+            remaining = out_df.filter(has_nan).select("tile_row", "tile_col")
+            n_targets = remaining.count()  # one job: materializes the checkpoint
             if not n_targets or h >= max_h:
                 return RasterFrame(out_df, meta, rf.raster_id)
             if n_targets <= EXTRAPOLATE_SUMMARY_MAX_TARGETS:
-                flags = flags.localCheckpoint(eager=True)
-                cur_df = out_df
+                # the exact round fills from the ORIGINAL raster, so its
+                # radii must be measured on the ORIGINAL tiles too — a run
+                # bound taken from the partially-filled table would count
+                # round fills as donors and under-size the window (cells
+                # proven in earlier rounds get re-proven here, since the
+                # whole tile core is re-emitted). Only the tile SET comes
+                # from the partially-filled table.
+                keys = remaining.localCheckpoint(eager=True)
+                flags = (
+                    _nan_tile_flags(rf.df, meta)
+                    .join(F.broadcast(keys), ["tile_row", "tile_col"], "left_semi")
+                    .localCheckpoint(eager=True)
+                )
                 break
-            targets = flags.select("tile_row", "tile_col")
+            targets = remaining
             h = min(h * 2, max_h)
 
     # exact-radius round: run-bound radii from the flags pass alone; tiles
@@ -761,9 +825,12 @@ def extrapolate(rf: RasterFrame, method: str = "nearest") -> RasterFrame:
         _, reps = get_summary()
         if reps == 0:  # all-NaN raster: reference returns it unchanged
             return RasterFrame(out_df, meta, rf.raster_id)
-        bbox = _nan_tile_bbox(cur_df, meta, need_rep)
+        # bbox over the ORIGINAL raster's NaN cells (the exact round re-fills
+        # every original NaN of the flagged tiles, not just the remaining ones)
+        bbox = _nan_tile_bbox(rf.df, meta, need_rep)
         rep_radii = _exact_target_radii(
-            bbox, summary, meta, max_h, broadcast_flags=n_need <= reps
+            bbox, summary, meta, max_h, broadcast_flags=n_need <= reps,
+            ring=n_need * reps > EXTRAPOLATE_RADII_MAX_PAIRS,
         )
         radii = run_radii.unionByName(rep_radii)
     else:

@@ -203,16 +203,17 @@ def fuzzy_dedup_checkpointed(
         ),
     )
 
+    # reliable per-round fences (the stage fence resumes BETWEEN stages; this
+    # resumes WITHIN clustering — a mid-round crash of a 100 TB job restarts
+    # at the last committed round, not at round 0). The dir is keyed by the
+    # effective fingerprint so a parameter change can never resume from
+    # another run's label tables.
+    import hashlib
+
+    cc_dir = str(Path(ckpt_dir) / f"cc_rounds_{hashlib.md5(eff_fp.encode()).hexdigest()[:16]}")
+
     def build_components() -> DataFrame:
         rounds: list[dict] = []
-        # reliable per-round fences (the stage fence resumes BETWEEN stages;
-        # this resumes WITHIN clustering — a mid-round crash of a 100 TB job
-        # restarts at the last committed round, not at round 0). The dir is
-        # keyed by the effective fingerprint so a parameter change can never
-        # resume from another run's label tables.
-        import hashlib
-
-        cc_dir = str(Path(ckpt_dir) / f"cc_rounds_{hashlib.md5(eff_fp.encode()).hexdigest()[:16]}")
         comp = connected_components(
             edges_stage.df, max_iters=max_iters, metrics=rounds,
             reliable_dir=cc_dir,
@@ -221,6 +222,13 @@ def fuzzy_dedup_checkpointed(
         return comp
 
     comp_stage = cm.run_stage(spark, "dedup_components", eff_fp, build_components)
+    if not comp_stage.resumed:
+        # the stage manifest is committed: the per-round label tables are
+        # dead weight now (rounds × nodes of parquet per run) — drop them
+        from ..functions.dedup import _hadoop_fs
+
+        fs, jpath = _hadoop_fs(spark, cc_dir)
+        fs.delete(jpath, True)
     assign_stage = cm.run_stage(
         spark,
         "dedup_assign",

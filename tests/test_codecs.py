@@ -268,6 +268,10 @@ class TestWavRoundTrip:
         # buffer-size ValueError (ADVICE r5)
         with pytest.raises(ValueError, match="truncated WAV.*multiple"):
             decode_wav(self._wav(1, 16, 1, 8000, b"\x00\x01\x02"))
+        # bits_per_sample = 0 in the fmt chunk: the unsupported-format
+        # dispatch, not a ZeroDivisionError from the sample-size check
+        with pytest.raises(NotImplementedError, match="unsupported"):
+            decode_wav(self._wav(1, 0, 1, 8000, b"\x00\x00"))
         # several data chunks: spec allows one — rejecting beats silently
         # keeping the last (ADVICE r5)
         base = self._wav(1, 16, 1, 8000, b"\x00\x01" * 4)

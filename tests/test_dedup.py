@@ -437,10 +437,20 @@ class TestIncrementalDedup:
                 shard, idx_docs, index_dir=str(tmp_path / "ix"), n=2,
                 num_hashes=16, bands=4, threshold=0.5,
             )
-        # …and a pre-manifest index (no params table) still fails on the
-        # signature-length guard instead of silently mis-bucketing
+        # …a CORRUPT manifest propagates instead of silently skipping
+        # validation (only a MISSING manifest is treated as pre-manifest)
         import shutil
 
+        shutil.rmtree(tmp_path / "ix" / "params")
+        (tmp_path / "ix" / "params").mkdir()
+        (tmp_path / "ix" / "params" / "part-0.parquet").write_bytes(b"not parquet")
+        with pytest.raises(Exception):
+            D.validate_index_params(
+                spark, str(tmp_path / "ix"), n=2, num_hashes=8, bands=4,
+                hash_family="xxhash64",
+            )
+        # …and a pre-manifest index (no params table) still fails on the
+        # signature-length guard instead of silently mis-bucketing
         shutil.rmtree(tmp_path / "ix" / "params")
         with pytest.raises(Exception, match="signature length"):
             D.incremental_dedup_assign(

@@ -557,6 +557,16 @@ class TestExtrapolateCappedRounds:
             # tight within a tile diagonal of slack (rep = centre-nearest
             # donor of the best tile, ±half a tile in each axis)
             assert h <= true_worst + 24, (tr, tc, h)
+        # the ring-doubling variant (the bounded-pair-count path for huge
+        # target × rep products) must agree wherever a ring contains the
+        # globally-best rep — here ring K=4 covers the whole 4-tile grid
+        ring = {
+            (r["tile_row"], r["tile_col"]): r["h"]
+            for r in st._exact_target_radii(
+                flags, summary, meta, 91, broadcast_flags=True, ring=True
+            ).collect()
+        }
+        assert ring == radii
 
     def test_many_remaining_tiles_keep_doubling(self, spark, monkeypatch):
         # above the broadcast guard the radii cross-join would be the
@@ -640,6 +650,32 @@ class TestExtrapolateCappedRounds:
         monkeypatch.setattr(st, "EXTRAPOLATE_SUMMARY_MAX_TARGETS", 0)
         got = st.extrapolate(rf).to_numpy()
         np.testing.assert_array_equal(got, want)
+
+    def test_fallback_exit_radii_measured_on_original_raster(self, spark, monkeypatch):
+        # regression (round-6 review): when the doubling fallback breaks into
+        # the exact-radius round, the run/bbox bounds must come from the
+        # ORIGINAL raster — measuring them on the partially-filled table
+        # counts round fills as donors, under-sizes the window, and leaves
+        # (or re-introduces) NaNs because the final round re-fills whole
+        # tiles from the original donors
+        import numpy as np
+
+        import rastr_spark.operators.stencils as st
+        from rastr_spark.meta import Affine, RasterMeta
+        from rastr_spark.tiles import RasterFrame
+
+        H = W = 64
+        arr = np.full((H, W), np.nan)
+        arr[:, 0] = np.arange(H, dtype=float) + 1.0  # donor column only
+        meta = RasterMeta(1.0, "EPSG:2193", Affine(1, 0, 0, 0, -1, H), H, W, tile_size=16)
+        # remaining counts per round: 16 → 16 → 12 → 8: breaks into the exact
+        # round with the right-half tiles partially filled by earlier rounds
+        monkeypatch.setattr(st, "EXTRAPOLATE_SUMMARY_MAX_TARGETS", 8)
+        out = st.extrapolate(RasterFrame.from_numpy(spark, arr, meta)).to_numpy()
+        assert not np.isnan(out).any()
+        # nearest donor for (r, c) is always (r, 0): distance c beats any
+        # off-row donor at sqrt(k² + c²)
+        np.testing.assert_array_equal(out, np.tile(arr[:, [0]], (1, W)))
 
     def test_single_corner_donor_fills_entire_grid(self, spark):
         # regression: the proof radius must reach the grid DIAGONAL — with

@@ -2028,6 +2028,57 @@ SELECT DISTINCT text, length(text)::BIGINT AS text_len FROM documents
 """
 
 
+def _q_text_dup_windows(spark, sf_dir):
+    """Substring-level duplication signal (Lee et al. 2022 span dedup, public
+    method): fraction of each doc's distinct 8-token windows appearing in ≥2
+    distinct docs. 40 planted docs share a boilerplate suffix (and duplicate
+    their source doc's text), so both the planted and the original docs carry
+    non-trivial dup fractions. md5 hash family — DuckDB replays the window
+    hashing, the distinct-doc counts, and the per-doc fractions bit-for-bit."""
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + 800000).alias("doc_id"),
+        F.concat("text", F.lit(_DUP_WINDOW_SUFFIX)).alias("text"),
+    )
+    src = d.unionByName(planted)
+    return D.duplicated_window_stats(src, window=8, hash_family="md5")
+
+
+_DUP_WINDOW_SUFFIX = (
+    " zzshared boilerplate footer sentence tokens repeated across corpus pages verbatim"
+)
+
+
+def _dup_windows_oracle() -> str:
+    src = f"""
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 800000 AS doc_id, text || '{_DUP_WINDOW_SUFFIX}' AS text
+      FROM documents WHERE doc_id < 40
+    """
+    return f"""
+WITH src AS ({src}),
+t AS ({_toks_sql("src")}),
+w AS (
+  SELECT DISTINCT doc_id, md5(array_to_string(ts[g:g+7], ' ')) AS wh
+  FROM (SELECT doc_id, ts, unnest(range(1, greatest(len(ts) - 6, 1))) AS g FROM t)
+  WHERE len(ts) >= 8
+),
+shared AS (SELECT wh FROM w GROUP BY wh HAVING count(DISTINCT doc_id) > 1),
+per AS (SELECT doc_id, count(*) AS ndup FROM w JOIN shared USING (wh) GROUP BY doc_id),
+nw AS (SELECT doc_id, count(*) AS n_windows FROM w GROUP BY doc_id)
+SELECT s.doc_id,
+       coalesce(nw.n_windows, 0) AS n_windows,
+       coalesce(per.ndup, 0) AS n_dup_windows,
+       CASE WHEN coalesce(nw.n_windows, 0) > 0
+            THEN coalesce(per.ndup, 0)::DOUBLE / nw.n_windows::DOUBLE
+            ELSE 0.0 END AS dup_fraction
+FROM (SELECT doc_id FROM src) s
+LEFT JOIN nw USING (doc_id)
+LEFT JOIN per USING (doc_id)
+"""
+
+
 def _q_streaming_window_stats(spark, sf_dir):
     """Watermarked tumbling-window per-tile stats over a synthetic cell-update
     stream derived from lineitem (deterministic ts/row/col/value), drained with
@@ -2216,6 +2267,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_exact": _q_streaming_dedup,
         "streaming_neardup_index": _q_streaming_neardup_index,
         "streaming_window_stats": _q_streaming_window_stats,
+        # substring-level (span) dedup signal — Lee et al. 2022 style
+        "text_dup_windows": _q_text_dup_windows,
     }
 
 
@@ -2269,4 +2322,5 @@ def oracle_sql() -> dict[str, str]:
         "streaming_dedup_exact": _ORACLE_STREAMING_DEDUP,
         "streaming_neardup_index": _streaming_neardup_oracle(),
         "streaming_window_stats": _ORACLE_STREAMING_WINDOW,
+        "text_dup_windows": _dup_windows_oracle(),
     }

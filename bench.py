@@ -395,6 +395,21 @@ def main():
     results["dedup_fuzzy_1m"] = round(t_fuzzy_1m, 3)
     all_walls["dedup_fuzzy_1m"] = walls
 
+    # -- substring-level (span) dedup signal at corpus scale --------------------
+    # duplicated_window_stats (Lee et al. 2022 measurement) on the same 210k
+    # corpus: one 8-byte hash per 16-token window, distinct'd per doc before
+    # the shuffle — the production xxhash64 path (the md5 twin exists for the
+    # text_dup_windows oracle)
+    from rastr_spark.functions.dedup import duplicated_window_stats
+
+    t_dwin, walls = timed(
+        lambda: duplicated_window_stats(fuzzy_corpus, window=16)
+        .agg(F.sum("n_dup_windows"), F.sum("n_windows"))
+        .collect()
+    )
+    results["text_dup_windows_200k"] = round(t_dwin, 3)
+    all_walls["text_dup_windows_200k"] = walls
+
     # -- composed curation pipeline at corpus scale -----------------------------
     # the end-to-end workflow the engine exists for (quality/lang gate → exact +
     # fuzzy dedup → BPE token budgets → keep decision), timed over the SAME 210k

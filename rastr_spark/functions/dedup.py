@@ -388,6 +388,95 @@ def lsh_buckets_from_signatures(
     )
 
 
+def duplicated_window_stats(
+    docs: DataFrame,
+    *,
+    window: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Substring-level duplication signal per doc (the "dedup the SPANS, not
+    just the documents" measurement of Lee et al., *Deduplicating Training
+    Data Makes Language Models Better*, ACL 2022 — public method): for every
+    doc, the fraction of its distinct ``window``-token windows that also
+    appear in at least one OTHER doc.
+
+    Returns (id_col, n_windows, n_dup_windows, dup_fraction) for EVERY input
+    doc (docs shorter than ``window`` tokens get 0/0/0.0). A window counts as
+    duplicated when it occurs in ≥2 DISTINCT docs — internal repetition
+    within one doc does not count, so boilerplate shared across a corpus is
+    flagged while a chorus repeated inside one lyric is not.
+
+    Plan shape (100 TB-safe): tokens are hashed once, each window collapses
+    to ONE 8-byte xxhash64 over its ``window`` token longs (never a window
+    string), windows are distinct'd per doc BEFORE the shuffle, and the only
+    shuffles are a groupBy on the 8-byte window hash (count distinct docs —
+    map-side partial) and the join back; no document bytes ever leave the
+    scan. A window shared by millions of docs is just a big count — there is
+    no pairwise blow-up anywhere. 'md5' hash family builds window STRINGS
+    (md5 of the space-joined slice) — bit-reproducible in the SQL oracle,
+    used by the oracle query only.
+    """
+    d = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+    if hash_family == "md5":
+        ts = tokens(F.col("_t"))
+        n = F.size(ts)
+        win_expr = F.transform(
+            F.sequence(F.lit(0), n - window),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(ts, i + 1, window))),
+        )
+    elif hash_family == "xxhash64":
+        th = F.transform(tokens(F.col("_t")), lambda t: F.xxhash64(t))
+        n = F.size(th)
+
+        def win_hash(i):
+            return F.xxhash64(*[F.element_at(th, i + k + 1) for k in range(window)])
+
+        win_expr = F.transform(F.sequence(F.lit(0), n - window), win_hash)
+    else:
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
+    # sequence(0, negative) would run DOWNWARD (Spark infers step -1) — guard
+    # short docs to an empty window set explicitly
+    wins = d.select(
+        "id",
+        F.when(n >= window, F.array_distinct(win_expr))
+        .otherwise(F.array().cast("array<string>" if hash_family == "md5" else "array<bigint>"))
+        .alias("ws"),
+    ).localCheckpoint(eager=False)
+    exploded = wins.select("id", F.explode("ws").alias("wh"))
+    # windows are DISTINCT per doc already (array_distinct above), so a plain
+    # count(*) per window hash IS the distinct-doc count — no count_distinct
+    # (two-phase dedup agg) needed on the hot shuffle
+    shared = (
+        exploded.groupBy("wh")
+        .agg(F.count("*").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("wh")
+    )
+    per_doc = (
+        exploded.join(shared, "wh", "left_semi")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_dup_windows"))
+    )
+    base = wins.select("id", F.size("ws").cast("long").alias("n_windows"))
+    return (
+        base.join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_windows",
+            F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"),
+            F.when(
+                F.col("n_windows") > 0,
+                F.coalesce("n_dup_windows", F.lit(0)).cast("double")
+                / F.col("n_windows").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_fraction"),
+        )
+    )
+
+
 def candidate_pairs_from_buckets(
     b: DataFrame, *, max_bucket_size: int | None = None
 ) -> DataFrame:

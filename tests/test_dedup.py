@@ -207,6 +207,62 @@ class TestSimHashBucketCap:
         assert len(out) == 12 * 11 // 2  # uncapped: full clique recovered
 
 
+class TestDuplicatedWindows:
+    """Substring-level duplication signal (duplicated_window_stats — the Lee
+    et al. 2022 span-dedup measurement): cross-doc windows flag, internal
+    repetition does not, short docs get zeros, hash families agree."""
+
+    def _corpus(self, spark):
+        shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+        return _docs(spark, [
+            (0, f"unique zero prefix words here now {shared}"),
+            (1, f"another one distinct head tokens again {shared}"),
+            (2, "entirely fresh content with no overlap anywhere in corpus today ok"),
+            (3, "loop loop loop loop loop loop loop loop loop loop"),  # internal only
+            (4, "short doc"),  # < window tokens
+        ])
+
+    def test_cross_doc_windows_flagged(self, spark):
+        out = {
+            r["doc_id"]: (r["n_windows"], r["n_dup_windows"], r["dup_fraction"])
+            for r in D.duplicated_window_stats(
+                self._corpus(spark), window=8
+            ).collect()
+        }
+        # docs 0 and 1 share exactly the one 8-token suffix window
+        assert out[0][1] == 1 and out[1][1] == 1
+        assert out[0][0] == 7 and 0 < out[0][2] < 1  # 14 tokens → 7 windows
+        # fresh doc: no dup windows
+        assert out[2][1] == 0 and out[2][2] == 0.0
+        # internal repetition is NOT cross-doc duplication (and distinct
+        # windows collapse: 10×'loop' → one distinct window)
+        assert out[3] == (1, 0, 0.0)
+        # short doc: zero windows, fraction 0
+        assert out[4] == (0, 0, 0.0)
+
+    def test_hash_families_agree(self, spark):
+        corpus = self._corpus(spark)
+        fast = {
+            r["doc_id"]: (r["n_windows"], r["n_dup_windows"])
+            for r in D.duplicated_window_stats(corpus, window=8).collect()
+        }
+        md5 = {
+            r["doc_id"]: (r["n_windows"], r["n_dup_windows"])
+            for r in D.duplicated_window_stats(
+                corpus, window=8, hash_family="md5"
+            ).collect()
+        }
+        assert fast == md5
+
+    def test_exact_duplicate_docs_fully_flagged(self, spark):
+        docs = _docs(spark, [
+            (0, "one two three four five six seven eight nine ten"),
+            (1, "one two three four five six seven eight nine ten"),
+        ])
+        out = D.duplicated_window_stats(docs, window=8).collect()
+        assert all(r["dup_fraction"] == 1.0 for r in out)
+
+
 class TestFuzzyDedup:
     def test_connected_components_chain_and_star(self, spark):
         edges = spark.createDataFrame(

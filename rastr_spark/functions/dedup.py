@@ -388,6 +388,47 @@ def lsh_buckets_from_signatures(
     )
 
 
+def _distinct_window_hashes(th_df: DataFrame, window: int) -> DataFrame:
+    """(id, ws): per-doc DISTINCT 64-bit window hashes from an (id, th)
+    token-hash table — the vectorized Arrow stage of the xxhash64
+    ``duplicated_window_stats`` path.
+
+    Each window's hash is a degree-``window`` polynomial combine (odd 64-bit
+    multiplier, wrap-around arithmetic) of its token xxhash64s — computed as
+    ``window`` shifted multiply-adds over the whole doc's hash array at numpy
+    speed, then ``np.unique`` for the per-doc distinct. The JVM higher-order
+    expression this replaces (one 16-arg xxhash64 + 16 ``element_at`` per
+    window) evaluates interpreted, ~500 ns per element access — measured
+    41.9 s for the 210k-doc bench corpus vs under 2 s for this stage (guide
+    §4.2: batch work belongs in vectorized native code). Window identity is
+    unchanged (injective in the token-hash sequence up to 64-bit collisions:
+    the multiplier is odd, hence invertible mod 2⁶⁴); only the concrete hash
+    VALUES differ from the old expression, which nothing persists or
+    oracle-checks — the md5 oracle family has its own pure-JVM path."""
+    import numpy as np
+    import pandas as pd
+
+    mult = np.uint64(0x9E3779B97F4A7C15)
+
+    def kernel(it):
+        for pdf in it:
+            out = []
+            for th in pdf["th"]:
+                if th is None or len(th) < window:
+                    out.append(np.empty(0, dtype=np.int64))
+                    continue
+                a = np.asarray(th, dtype=np.int64).astype(np.uint64)
+                m = a.size - window + 1
+                h = np.zeros(m, dtype=np.uint64)
+                for k in range(window):
+                    h *= mult
+                    h += a[k : k + m]
+                out.append(np.unique(h).astype(np.int64))
+            yield pd.DataFrame({"id": pdf["id"].to_numpy(), "ws": out})
+
+    return th_df.mapInPandas(kernel, "id long, ws array<bigint>")
+
+
 def duplicated_window_stats(
     docs: DataFrame,
     *,
@@ -408,9 +449,11 @@ def duplicated_window_stats(
     within one doc does not count, so boilerplate shared across a corpus is
     flagged while a chorus repeated inside one lyric is not.
 
-    Plan shape (100 TB-safe): tokens are hashed once, each window collapses
-    to ONE 8-byte xxhash64 over its ``window`` token longs (never a window
-    string), windows are distinct'd per doc BEFORE the shuffle, and the only
+    Plan shape (100 TB-safe): tokens are hashed once (JVM xxhash64), each
+    window collapses to ONE 8-byte hash of its ``window`` token longs (never
+    a window string — a vectorized polynomial combine in an Arrow stage, see
+    :func:`_distinct_window_hashes`), windows are distinct'd per doc BEFORE
+    the shuffle, and the only
     shuffles are a groupBy on the 8-byte window hash (count distinct docs —
     map-side partial) and the join back; no document bytes ever leave the
     scan. A window shared by millions of docs is just a big count — there is
@@ -426,24 +469,25 @@ def duplicated_window_stats(
             F.sequence(F.lit(0), n - window),
             lambda i: F.md5(F.concat_ws(" ", F.slice(ts, i + 1, window))),
         )
+        # sequence(0, negative) would run DOWNWARD (Spark infers step -1) —
+        # guard short docs to an empty window set explicitly
+        wins = d.select(
+            "id",
+            F.when(n >= window, F.array_distinct(win_expr))
+            .otherwise(F.array().cast("array<string>"))
+            .alias("ws"),
+        )
     elif hash_family == "xxhash64":
-        th = F.transform(tokens(F.col("_t")), lambda t: F.xxhash64(t))
-        n = F.size(th)
-
-        def win_hash(i):
-            return F.xxhash64(*[F.element_at(th, i + k + 1) for k in range(window)])
-
-        win_expr = F.transform(F.sequence(F.lit(0), n - window), win_hash)
+        # tokens are hashed once in the JVM; the per-window combine + per-doc
+        # distinct runs vectorized in the Arrow stage (short docs fall out
+        # naturally: < window token hashes → empty ws)
+        th_df = d.select(
+            "id", F.transform(tokens(F.col("_t")), lambda t: F.xxhash64(t)).alias("th")
+        )
+        wins = _distinct_window_hashes(th_df, window)
     else:
         raise ValueError(f"unknown hash_family: {hash_family!r}")
-    # sequence(0, negative) would run DOWNWARD (Spark infers step -1) — guard
-    # short docs to an empty window set explicitly
-    wins = d.select(
-        "id",
-        F.when(n >= window, F.array_distinct(win_expr))
-        .otherwise(F.array().cast("array<string>" if hash_family == "md5" else "array<bigint>"))
-        .alias("ws"),
-    ).localCheckpoint(eager=False)
+    wins = wins.localCheckpoint(eager=False)
     exploded = wins.select("id", F.explode("ws").alias("wh"))
     # windows are DISTINCT per doc already (array_distinct above), so a plain
     # count(*) per window hash IS the distinct-doc count — no count_distinct

@@ -262,6 +262,25 @@ class TestDuplicatedWindows:
         out = D.duplicated_window_stats(docs, window=8).collect()
         assert all(r["dup_fraction"] == 1.0 for r in out)
 
+    def test_fast_path_matches_md5_on_generated_corpus(self, spark):
+        """The vectorized Arrow window-hash stage (r7: numpy polynomial
+        combine replacing the interpreted 16-arg xxhash64 expression) must
+        produce the same per-doc counts as the pure-JVM md5 oracle path on a
+        realistic generated corpus — window identity is the token sequence,
+        independent of the hash family."""
+        corpus = generate_text_corpus(spark, 300, seed=3, n_words=25, dup_every=7)
+        fast = {
+            r["doc_id"]: (r["n_windows"], r["n_dup_windows"], r["dup_fraction"])
+            for r in D.duplicated_window_stats(corpus, window=8).collect()
+        }
+        md5 = {
+            r["doc_id"]: (r["n_windows"], r["n_dup_windows"], r["dup_fraction"])
+            for r in D.duplicated_window_stats(
+                corpus, window=8, hash_family="md5"
+            ).collect()
+        }
+        assert fast == md5
+
 
 class TestFuzzyDedup:
     def test_connected_components_chain_and_star(self, spark):

@@ -953,9 +953,25 @@ def verified_near_dup_edges(
         reps, n=n, num_hashes=num_hashes, bands=bands,
         id_col=id_col, text_col=text_col, hash_family=hash_family,
         max_bucket_size=max_bucket_size,
+    ).localCheckpoint(eager=False)
+    # gram arrays only for docs that actually appear in a candidate pair
+    # (guide §3.2's semi-join pre-filter): the verify join consumes grams
+    # twice (id_a side, id_b side), and without the cut BOTH consumers
+    # re-tokenized and re-shingled EVERY rep — candidate docs are typically
+    # a small fraction of the corpus, so the old plan did ~2/fraction× the
+    # needed shingle work and shuffled full-corpus gram arrays twice.
+    # Checkpointing the candidate-only gram table makes the shingle pass run
+    # once; interleaved A/B: edges 28.3-36.8 s -> 17.2-21.6 s at 1.05M docs
+    # (~flat at 210k, where per-job latency dominates), identical edge sets.
+    cand_ids = (
+        cands.select(F.col("id_a").alias("_gid"))
+        .unionByName(cands.select(F.col("id_b").alias("_gid")))
+        .distinct()
     )
-    grams = reps.select(
-        F.col(id_col).alias("_gid"), word_ngrams(F.col(text_col), n).alias("_grams")
+    grams = (
+        reps.join(cand_ids, reps[id_col] == cand_ids["_gid"], "left_semi")
+        .select(F.col(id_col).alias("_gid"), word_ngrams(F.col(text_col), n).alias("_grams"))
+        .localCheckpoint(eager=False)
     )
     pairs = (
         cands.join(grams.select(F.col("_gid").alias("id_a"), F.col("_grams").alias("_ga")), "id_a")

@@ -70,6 +70,47 @@ def word_ngrams(text: Column, n: int) -> Column:
     return F.when(cnt >= n, F.array_distinct(grams)).otherwise(F.array().cast("array<string>"))
 
 
+def doc_annotations(text: Column) -> Column:
+    """struct(quality, lang, bpe_tokens, ws_tokens) with ONE tokenization.
+
+    Bit-identical to :func:`quality_score` / :func:`lang_id` /
+    :func:`bpe_token_count` / :func:`token_count` (same arithmetic, test-locked)
+    but the token array is built once and bound as a higher-order-function
+    lambda variable instead of being re-derived per sub-expression — the
+    separate column functions tokenize ~8× per doc (tokens/stopword-filter/
+    aggregate each inline their own ``split``), which interpreted HOF
+    evaluation does not common-subexpression-eliminate. The curation
+    pipeline's annotation stage uses this fused form.
+    """
+    non_ascii = F.length(F.regexp_replace(text, "[\\x00-\\x7F]", "")) > 0
+    bpe = bpe_token_count(text)
+
+    def feats(ts):
+        n = F.size(ts)
+        stop = F.size(F.filter(ts, lambda t: t.isin(STOPWORDS)))
+        ratio = stop.cast("double") / F.greatest(n, F.lit(1)).cast("double")
+        total = F.aggregate(ts, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+        avg = total.cast("double") / F.greatest(n, F.lit(1)).cast("double")
+        length_ok = F.when((n >= 10) & (n <= 100000), F.lit(0.4)).otherwise(F.lit(0.0))
+        stop_ok = F.when(ratio >= 0.05, F.lit(0.3)).otherwise(F.lit(0.0))
+        len_ok = F.when((avg >= 2.0) & (avg <= 12.0), F.lit(0.3)).otherwise(F.lit(0.0))
+        lang = (
+            F.when(non_ascii, F.lit("other"))
+            .when(ratio >= 0.05, F.lit("en"))
+            .otherwise(F.lit("unk"))
+        )
+        return F.struct(
+            F.round(length_ok + stop_ok + len_ok, 2).alias("quality"),
+            lang.alias("lang"),
+            bpe.cast("long").alias("bpe_tokens"),
+            n.cast("long").alias("ws_tokens"),
+        )
+
+    # single-element-array bind: the lambda variable ts is evaluated once per
+    # row; every reference inside feats reuses the bound array
+    return F.element_at(F.transform(F.array(tokens(text)), feats), 1)
+
+
 def doc_fingerprint(text: Column) -> Column:
     """Order-sensitive document fingerprint: xxhash64 rolling over the token stream
     (content-defined identity for exact/near-exact dedup bookkeeping)."""

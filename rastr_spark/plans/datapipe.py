@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.dedup import fuzzy_dedup_assign
-from ..functions.text import bpe_token_count, lang_id, quality_score, token_count
+from ..functions.text import doc_annotations
 
 # Ceiling for the auto (materialize_passing=None) localCheckpoint of the
 # passing subset. Below it the cut is a measured win (210k corpus A/B:
@@ -60,12 +60,16 @@ def curate_corpus(
 ) -> DataFrame:
     """Per-doc curation decision table.
 
-    ``materialize_passing``: localCheckpoint the quality/lang-passing (id, text)
-    subset before the fuzzy stage. The dedup pipeline scans its input several
-    times (reps, LSH, rep mapping); without the cut each scan re-executes the
-    annotation expressions (multiple tokenizations per doc). Interleaved A/B on
-    the 210k bench corpus: 16.8-20.6 s → 11.9-13.9 s. Storage cost is the
-    passing subset spilled MEMORY_AND_DISK on executors. Default ``None`` =
+    ``materialize_passing``: localCheckpoint the annotated table before the
+    fuzzy stage. The dedup pipeline scans its input several times (reps, LSH,
+    rep mapping) and the final keep-decision join reads the annotations again;
+    without the cut each scan re-executes the annotation expressions.
+    Interleaved A/B on the 210k bench corpus: 16.8-20.6 s → 11.9-13.9 s for
+    the original passing-subset cut (r5); r7 moves the cut above the filter
+    and fuses the annotation into one tokenization (doc_annotations — plan
+    shows 1 ``split`` instead of 11; the isolated annotation pass drops
+    1.2 → 0.9 s warm and no longer runs twice). Storage cost is the
+    annotated corpus spilled MEMORY_AND_DISK on executors. Default ``None`` =
     size-aware auto: the cut is applied only when the driver-known
     ``input_rows_bound`` (an upper bound on input rows — e.g. the shard
     manifest's row count; callers that just built the corpus know it for free)
@@ -83,24 +87,34 @@ def curate_corpus(
       cluster's canonical member. ``sum(bpe_tokens) WHERE keep`` is the
       training-token budget of the curated corpus.
     """
+    # fused single-tokenization annotation (doc_annotations — bit-identical to
+    # the per-column functions, one tokens pass instead of ~8); the two-step
+    # select keeps the struct expression evaluated once per row (CollapseProject
+    # does not inline a non-cheap expression referenced four times)
     annotated = docs.select(
+        id_col, text_col, doc_annotations(F.col(text_col)).alias("_ann")
+    ).select(
         id_col,
         text_col,
-        quality_score(F.col(text_col)).alias("quality"),
-        lang_id(F.col(text_col)).alias("lang"),
-        bpe_token_count(F.col(text_col)).cast("long").alias("bpe_tokens"),
-        token_count(F.col(text_col)).cast("long").alias("ws_tokens"),
+        F.col("_ann.quality").alias("quality"),
+        F.col("_ann.lang").alias("lang"),
+        F.col("_ann.bpe_tokens").alias("bpe_tokens"),
+        F.col("_ann.ws_tokens").alias("ws_tokens"),
     )
-    passing = annotated.filter(
-        (F.col("quality") >= min_quality) & (F.col("lang").isin(list(langs)))
-    ).select(id_col, text_col)
     if materialize_passing is None:
         materialize_passing = (
             input_rows_bound is None
             or input_rows_bound <= MATERIALIZE_PASSING_MAX_ROWS
         )
     if materialize_passing:
-        passing = passing.localCheckpoint(eager=True)
+        # checkpoint the ANNOTATED table, not just the passing subset: the
+        # final keep-decision join consumes the annotations a second time, so
+        # checkpointing upstream of the filter halves the annotation work
+        # (the old cut still re-annotated every doc for the output join)
+        annotated = annotated.localCheckpoint(eager=True)
+    passing = annotated.filter(
+        (F.col("quality") >= min_quality) & (F.col("lang").isin(list(langs)))
+    ).select(id_col, text_col)
     assign = fuzzy_dedup_assign(
         passing, n=n, num_hashes=num_hashes, bands=bands,
         threshold=jaccard_threshold, id_col=id_col, text_col=text_col,

@@ -11,6 +11,54 @@ from pyspark.sql import functions as F
 from rastr_spark.plans.datapipe import curate_corpus
 
 
+class TestDocAnnotations:
+    def test_fused_annotations_match_column_functions(self, spark):
+        """The r7 single-tokenization annotation struct must be bit-identical
+        to the four standalone column functions it fuses (curate_corpus'
+        output hashes depend on it)."""
+        from rastr_spark.functions.text import (
+            bpe_token_count,
+            doc_annotations,
+            lang_id,
+            quality_score,
+            token_count,
+        )
+        from rastr_spark.sources.documents import generate_text_corpus
+
+        docs = generate_text_corpus(spark, 200, seed=5).unionByName(
+            spark.createDataFrame(
+                [
+                    (9001, "the of and to in is it for on a reasonable english text"),
+                    (9002, "non-ascii snippet with ünïcödé characters inside"),
+                    (9003, ""),
+                    (9004, "x"),
+                    (9005, "punct! 123 456 'll 've mixed-case Words, and   spaces"),
+                ],
+                "doc_id long, text string",
+            )
+        )
+        sep = {
+            r["doc_id"]: (r["q"], r["l"], r["b"], r["w"])
+            for r in docs.select(
+                "doc_id",
+                quality_score(F.col("text")).alias("q"),
+                lang_id(F.col("text")).alias("l"),
+                bpe_token_count(F.col("text")).cast("long").alias("b"),
+                token_count(F.col("text")).cast("long").alias("w"),
+            ).collect()
+        }
+        fused = {
+            r["doc_id"]: (
+                r["_ann"]["quality"], r["_ann"]["lang"],
+                r["_ann"]["bpe_tokens"], r["_ann"]["ws_tokens"],
+            )
+            for r in docs.select(
+                "doc_id", doc_annotations(F.col("text")).alias("_ann")
+            ).collect()
+        }
+        assert sep == fused
+
+
 class TestCurateCorpus:
     def test_end_to_end_decisions(self, spark):
         good = "the quick brown fox jumps over the lazy dog and runs on for a while longer"

@@ -448,18 +448,28 @@ def dilate(rf: RasterFrame, radius: float) -> RasterFrame:
     """Grey dilation with a disk footprint (reference src/rastr/raster.py:1223-1288):
     pad with (global min − 1) beyond the grid, NaN→fill during the max-filter,
     NaN mask restored after. All-NaN raster short-circuits to a copy."""
-    from .aggregates import rf_stats
-
     cell_radius = int(math.ceil(radius / rf.meta.cell_size))
-    stats = rf_stats(rf)
-    if stats["count"] == 0:
+    # dedicated NaN-ignoring global min (Spark orders NaN greater than every
+    # double, so array_min/min skip NaN unless ALL cells are NaN): one codegen
+    # aggregate instead of rf_stats' interpreted struct-accumulator pass —
+    # which additionally deoptimizes to ~5 s/16.8M cells for the rest of the
+    # session once any applyInPandas job has run (measured; the dedicated min
+    # stays at ~0.1 s). All-NaN raster → NaN/None min → unchanged copy.
+    row = rf.df.agg(F.min(F.array_min("values")).alias("mn")).collect()[0]
+    if row["mn"] is None or math.isnan(row["mn"]):
         return RasterFrame(rf.df, rf.meta, rf.raster_id)
-    fill_val = stats["min"] - 1.0
+    fill_val = float(row["mn"]) - 1.0
     dtype = np.dtype(rf.meta.dtype)
     foot = _disk(cell_radius)
 
     def kern(padded, valid, info):
         r0, c0, th, tw, h = info
+        # original core NaN mask BEFORE the fill: the kernel restores the NaN
+        # cells itself — the core of the padded window IS the original tile,
+        # so the old post-stencil _binary join (a full shuffle join + second
+        # pass over the raster just to re-read the original mask) is dead
+        # weight. Identical semantics: orig NaN → NaN, else dilated value.
+        nan_core = np.isnan(padded[h : h + th, h : h + tw])
         a = padded.copy()
         a[~valid] = fill_val  # outside-grid = reference's pad(min-1)
         a[np.isnan(a)] = fill_val
@@ -471,18 +481,11 @@ def dilate(rf: RasterFrame, radius: float) -> RasterFrame:
                 if not foot[dy + h, dx + h]:
                     continue
                 out = np.maximum(out, a[h + dy : h + dy + th, h + dx : h + dx + tw])
+        out = out.astype(np.float64)
+        out[nan_core] = np.nan
         return out
 
-    out = stencil_apply(rf, cell_radius, kern)
-    # restore NaN mask from the original
-    from .elementwise import _binary
-
-    return _binary(
-        rf,
-        out,
-        lambda orig, b: F.when(F.isnan(orig), F.lit(float("nan"))).otherwise(b),
-        lambda orig, b: np.where(np.isnan(orig), np.nan, b),
-    )
+    return stencil_apply(rf, cell_radius, kern)
 
 
 # Remaining-NaN-tile count under which extrapolate finishes with the exact-

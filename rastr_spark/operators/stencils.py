@@ -632,6 +632,156 @@ def _nan_tile_bbox(df: DataFrame, meta: RasterMeta, keys: DataFrame) -> DataFram
     )
 
 
+def _donor_cells(rf: RasterFrame) -> DataFrame:
+    """(tile_row, tile_col, tw, di, dv): per-tile SPARSE donor lists — the
+    positions (row-major index) and values of every non-NaN cell, extracted in
+    one vectorized Arrow pass. The sparse-gather extrapolate round replicates
+    these few-donor lists to target tiles instead of shipping dense
+    mostly-NaN window strips (see :func:`_sparse_nn_fill`)."""
+    meta = rf.meta
+    Tsz = meta.tile_size
+    W = meta.width
+
+    def kernel(it):
+        for pdf in it:
+            trs = pdf["tile_row"].to_numpy()
+            tcs = pdf["tile_col"].to_numpy()
+            rows: dict = {"tile_row": [], "tile_col": [], "tw": [], "di": [], "dv": []}
+            for i in range(len(pdf)):
+                vals = np.asarray(pdf["values"].iloc[i], dtype=np.float64)
+                idx = np.nonzero(~np.isnan(vals))[0]
+                if idx.size == 0:
+                    continue
+                rows["tile_row"].append(int(trs[i]))
+                rows["tile_col"].append(int(tcs[i]))
+                rows["tw"].append(min(Tsz, W - int(tcs[i]) * Tsz))
+                rows["di"].append(idx)
+                rows["dv"].append(vals[idx])
+            if rows["di"]:
+                # an empty dict-of-lists DataFrame gets float64 columns,
+                # which Arrow cannot convert to the declared list types —
+                # skip empty batches instead
+                yield pd.DataFrame(rows)
+
+    return rf.df.select("tile_row", "tile_col", "values").mapInPandas(
+        kernel, "tile_row int, tile_col int, tw int, di array<long>, dv array<double>"
+    )
+
+
+def _sparse_nn_fill(rf: RasterFrame, radii: DataFrame, donors: DataFrame) -> DataFrame:
+    """The exact-radius extrapolate round over a BROADCAST donor set: the
+    (driver-bounded, see ``SPARSE_GATHER_MAX_DONORS``) donor cells are
+    collected once into three sorted numpy arrays and broadcast; a batched
+    ``mapInPandas`` over the tiny radii table then box-queries each target's
+    window out of the sorted arrays (``searchsorted`` on the row coordinate)
+    and runs the identical proven :func:`_nn_fill_kernel` on a window
+    re-assembled from those donors. Result is bit-equal to the dense-strip
+    round — the window a kernel sees contains exactly the same donor cells.
+
+    Why this shape: on a mostly-NaN raster the proven radii are necessarily
+    wide (the nearest donor IS far), so the dense round ships (T+2h)² window
+    cells per target — 244M cells ≈ 15× the raster for the 16.8M-cell bench
+    raster at one donor/tile — and a shuffle-gathered sparse variant still
+    pays ~2 ms × n_targets of per-group Arrow overhead in applyInPandas
+    (measured 8 s for 4096 groups with a trivial kernel). Here NOTHING is
+    shuffled: no raster scan, no per-group machinery — the only moving parts
+    are one bounded collect+broadcast and one Python crossing of the
+    one-row-per-NaN-tile radii table. The padded window is additionally
+    shrunk to the bbox of core ∪ in-window donors: excluded cells are
+    donor-free by construction, so the kernel's scan result is unchanged."""
+    meta = rf.meta
+    Tsz = meta.tile_size
+    H, W = meta.height, meta.width
+    raster_id = rf.raster_id
+    rows = donors.select("tile_row", "tile_col", "tw", "di", "dv").collect()
+    grs, gcs, dvs = [], [], []
+    for r in rows:
+        di = np.asarray(r["di"], dtype=np.int64)
+        grs.append(r["tile_row"] * Tsz + di // r["tw"])
+        gcs.append(r["tile_col"] * Tsz + di % r["tw"])
+        dvs.append(np.asarray(r["dv"], dtype=np.float64))
+    gr = np.concatenate(grs) if grs else np.empty(0, np.int64)
+    gc = np.concatenate(gcs) if gcs else np.empty(0, np.int64)
+    dv = np.concatenate(dvs) if dvs else np.empty(0, np.float64)
+    order = np.lexsort((gc, gr))
+    bc = rf.df.sparkSession.sparkContext.broadcast((gr[order], gc[order], dv[order]))
+    kern = _nn_fill_kernel(None)
+
+    def fill(it):
+        G, C, V = bc.value
+        from ..grid import morton_encode
+
+        for pdf in it:
+            out: dict = {
+                "raster_id": [], "tile_row": [], "tile_col": [],
+                "cell_id": [], "values": [],
+            }
+            for tr, tc, h_ in zip(
+                pdf["tile_row"].to_numpy(), pdf["tile_col"].to_numpy(),
+                pdf["h"].to_numpy(),
+            ):
+                tr, tc, h_ = int(tr), int(tc), int(h_)
+                r0, c0 = tr * Tsz, tc * Tsz
+                th_, tw_ = min(Tsz, H - r0), min(Tsz, W - c0)
+                rs, re = max(r0 - h_, 0), min(r0 + th_ + h_, H)
+                cs, ce = max(c0 - h_, 0), min(c0 + tw_ + h_, W)
+                lo, hi = np.searchsorted(G, (rs, re))
+                m = (C[lo:hi] >= cs) & (C[lo:hi] < ce)
+                g2, c2, v2 = G[lo:hi][m], C[lo:hi][m], V[lo:hi][m]
+                if g2.size == 0:
+                    # no donor in the window (defensive — proven radii imply
+                    # one): emit the all-NaN core, like the dense round would
+                    core = np.full((th_, tw_), np.nan)
+                else:
+                    rs2 = min(int(g2.min()), r0)
+                    re2 = max(int(g2.max()) + 1, r0 + th_)
+                    cs2 = min(int(c2.min()), c0)
+                    ce2 = max(int(c2.max()) + 1, c0 + tw_)
+                    padded = np.full((re2 - rs2, ce2 - cs2), np.nan)
+                    padded[g2 - rs2, c2 - cs2] = v2
+                    info = (r0, c0, th_, tw_, h_, r0 - rs2, c0 - cs2)
+                    core = kern(padded, np.ones(padded.shape, dtype=bool), info)
+                out["raster_id"].append(raster_id)
+                out["tile_row"].append(tr)
+                out["tile_col"].append(tc)
+                out["cell_id"].append(
+                    int(morton_encode(np.array([tr]), np.array([tc]))[0])
+                )
+                out["values"].append(core.astype(np.float64).ravel())
+            if out["values"]:
+                # skip empty batches (see _donor_cells: Arrow cannot convert
+                # an empty float64 column to the declared array type)
+                yield pd.DataFrame(out)
+
+    from ..tiles import TILE_SCHEMA
+
+    # the radii table is tiny in BYTES but each row is ~5 ms of kernel work —
+    # AQE's byte-based coalescing would collapse it to one partition and run
+    # every kernel on one core (measured: 28 s single-core vs ~1 s spread).
+    # Round-robin repartition to the session's parallelism before the Python
+    # stage; the 1-row-per-tile shuffle is negligible.
+    n_parts = max(rf.df.sparkSession.sparkContext.defaultParallelism, 1) * 2
+    out = radii.select(
+        "tile_row", "tile_col", F.col("h").cast("int").alias("h")
+    ).repartition(n_parts).mapInPandas(fill, TILE_SCHEMA)
+    return out.withColumn("values", denull(F.col("values")))
+
+
+# dense-window volume bound for the exact-radius round, as a multiple of the
+# raster's own cell count: below it the dense strip gather ships ~the raster
+# once and stays (the common dense-raster-with-holes shape); above it the
+# donor cells are extracted and, when they fit the broadcast bound below, the
+# round runs from a broadcast donor set instead (mostly-NaN rasters, where
+# proven radii are necessarily wide and dense windows would ship the raster
+# 10-20x). The two regimes are complementary: many donors ⇒ small radii ⇒
+# dense windows ship ≈ the raster once; few donors ⇒ broadcastable.
+SPARSE_GATHER_DENSE_BLOWUP = 4.0
+
+# donor-cell count above which the broadcast round is not attempted (the
+# collect+broadcast is ~24 bytes/donor — the bound keeps it a few dozen MB,
+# same class as the radii broadcast the targeted builder already relies on)
+SPARSE_GATHER_MAX_DONORS = 2_000_000
+
 # pair-count bound above which _exact_target_radii switches from the single
 # cross join to the Chebyshev-ring-doubling join: with BOTH sides large
 # (~10⁶ rep-needing tiles × ~10⁷ donor reps on a sparse mega-raster) the
@@ -742,6 +892,7 @@ def extrapolate(rf: RasterFrame, method: str = "nearest") -> RasterFrame:
     if method not in ("nearest",):
         raise NotImplementedError(f"Unsupported extrapolation method: {method}")
     meta = rf.meta
+    Tsz = meta.tile_size
     make_kernel = _nn_fill_kernel
 
     # full proof radius = the grid DIAGONAL: max(H, W) would leave a far
@@ -838,8 +989,31 @@ def extrapolate(rf: RasterFrame, method: str = "nearest") -> RasterFrame:
         radii = run_radii.unionByName(rep_radii)
     else:
         radii = run_radii
-    filled = stencil_apply(rf, None, make_kernel(None), targets=radii, clip_to_grid=True)
-    out_df = out_df.filter(~has_nan).unionByName(filled.df)
+    # gather-representation choice for the one targeted round, from
+    # driver-known volume estimates (radii is tiny — one row per NaN tile):
+    # dense strips ship Σ(T+2h)² window cells; sparse donor lists ship each
+    # donor once per ring tile. Mostly-NaN rasters have necessarily wide
+    # proven radii (the nearest donor IS far), where dense windows move the
+    # raster 10-20× — the sparse path moves only the donors.
+    radii = radii.localCheckpoint(eager=True)
+    vol = radii.agg(
+        F.sum(
+            (F.lit(float(Tsz)) + 2.0 * F.col("h")) * (F.lit(float(Tsz)) + 2.0 * F.col("h"))
+        ).alias("dense")
+    ).collect()[0]
+    n_cells = float(meta.height) * float(meta.width)
+    use_sparse = False
+    if vol["dense"] is not None and vol["dense"] > SPARSE_GATHER_DENSE_BLOWUP * n_cells:
+        donors = _donor_cells(rf).localCheckpoint(eager=True)
+        n_donors = donors.agg(F.sum(F.size("di"))).collect()[0][0] or 0
+        use_sparse = n_donors <= SPARSE_GATHER_MAX_DONORS
+    if use_sparse:
+        filled_df = _sparse_nn_fill(rf, radii, donors)
+    else:
+        filled_df = stencil_apply(
+            rf, None, make_kernel(None), targets=radii, clip_to_grid=True
+        ).df
+    out_df = out_df.filter(~has_nan).unionByName(filled_df)
     return RasterFrame(out_df, meta, rf.raster_id)
 
 

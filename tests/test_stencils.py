@@ -496,9 +496,10 @@ class TestExtrapolateCappedRounds:
     def test_summary_plan_single_stencil_round(self, spark, monkeypatch):
         # the donor-summary plan must finish in EXACTLY 1 stencil round for
         # any donor layout (flags + summary are JVM map passes, then one
-        # exact-radius targeted round) — counted via stencil_apply
-        # invocations; the round passes h=None (per-tile radii live in the
-        # targets DataFrame)
+        # exact-radius targeted round) — counted via stencil_apply /
+        # _sparse_nn_fill invocations (r7: a mostly-NaN raster takes the
+        # sparse broadcast-donor round instead of the dense strip gather;
+        # either way the plan must run exactly one round)
         import numpy as np
 
         import rastr_spark.operators.stencils as st
@@ -507,19 +508,27 @@ class TestExtrapolateCappedRounds:
 
         calls = []
         orig = st.stencil_apply
+        orig_sparse = st._sparse_nn_fill
 
         def spy(rf, h, kernel, **kw):
-            calls.append(h)
+            calls.append(("dense", h))
             return orig(rf, h, kernel, **kw)
 
+        def spy_sparse(rf, radii, donors):
+            calls.append(("sparse", None))
+            return orig_sparse(rf, radii, donors)
+
         monkeypatch.setattr(st, "stencil_apply", spy)
+        monkeypatch.setattr(st, "_sparse_nn_fill", spy_sparse)
         H = W = 128
         arr = np.full((H, W), np.nan)
         arr[0, 0] = 7.0  # single donor: every cell's fill needs radius ≈ 181
         meta = RasterMeta(1.0, "EPSG:2193", Affine(1, 0, 0, 0, -1, H), H, W, tile_size=16)
         out = st.extrapolate(RasterFrame.from_numpy(spark, arr, meta)).to_numpy()
         assert (out == 7.0).all()
-        assert calls == [None], calls
+        # one round; this single-donor layout has a huge dense-window volume,
+        # so it must pick the sparse broadcast-donor round
+        assert calls == [("sparse", None)], calls
 
     def test_exact_radius_is_tight_per_tile(self, spark):
         # the per-tile radii must bound the true worst-case nearest-donor

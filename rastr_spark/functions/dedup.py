@@ -38,6 +38,13 @@ from .text import tokens, word_ngrams
 _FP_SEED = 0x5EED
 _FP_NAMES = ["_fp1", "_fp2", "_fpl"]
 
+# connected_components: edge count under which every per-round join broadcasts
+# its label/mapping side (labels ≤ 2·edges rows of ~24 bytes → ≤ ~50 MB built
+# relation at the bound). Verified near-dup edge sets are a tiny fraction of
+# corpus size, so corpora well past 10M docs stay under it; bigger graphs keep
+# the shuffle joins.
+CC_BROADCAST_MAX_EDGES = 1_000_000
+
 
 def _fp_cols(text_col: str) -> list[Column]:
     # seed literal FIRST: Spark's XxHash64 folds args left-to-right with the
@@ -827,6 +834,13 @@ def connected_components(
         edges = _parquet_fence(edges, f"{reliable_dir}/edges")
     else:
         edges = edges.localCheckpoint(eager=True)
+    # join-strategy choice from the now-known edge count (the count is cheap —
+    # edges is materialized): below the bound, every per-round join broadcasts
+    # its label/mapping side, so no round ever shuffles the edge list — the
+    # loop's wide exchanges collapse to the quotient distinct + the basin
+    # groupBy. Above it (cluster-scale graphs), the shuffle joins stand.
+    n_edges = edges.count()
+    _bc = (lambda df: F.broadcast(df)) if n_edges <= CC_BROADCAST_MAX_EDGES else (lambda df: df)
     nodes = (
         edges.select(F.col("u").alias("node"))
         .unionByName(edges.select(F.col("v").alias("node")))
@@ -849,8 +863,8 @@ def connected_components(
         t0 = _time.time()
         # quotient edges: one distinct row per adjacent basin pair
         e2 = (
-            edges.join(labels.select(F.col("node").alias("u"), F.col("comp").alias("cu")), "u")
-            .join(labels.select(F.col("node").alias("v"), F.col("comp").alias("cv")), "v")
+            edges.join(_bc(labels.select(F.col("node").alias("u"), F.col("comp").alias("cu"))), "u")
+            .join(_bc(labels.select(F.col("node").alias("v"), F.col("comp").alias("cv"))), "v")
             .select("cu", "cv")
             .filter(F.col("cu") != F.col("cv"))
             .distinct()
@@ -873,7 +887,7 @@ def connected_components(
             # translate the hash-order component winners to min NODE ids:
             # deterministic canonical labels, independent of the hash
             roots = labels.groupBy("comp").agg(F.min("node").alias("_root"))
-            return labels.join(roots, "comp").select(
+            return labels.join(_bc(roots), "comp").select(
                 "node", F.col("_root").alias("comp")
             )
         sym2 = e2.unionByName(e2.select(F.col("cv").alias("cu"), F.col("cu").alias("cv")))
@@ -888,13 +902,13 @@ def connected_components(
         # m is basin-sized (≪ nodes), so this join is cheap
         m = (
             m.join(
-                m.select(F.col("cu").alias("mv"), F.col("mv").alias("_mm")),
+                _bc(m.select(F.col("cu").alias("mv"), F.col("mv").alias("_mm"))),
                 "mv",
                 "left",
             )
             .select("cu", F.coalesce("_mm", F.col("mv")).alias("mv"))
         )
-        labels = labels.join(m.withColumnRenamed("cu", "comp"), "comp", "left").select(
+        labels = labels.join(_bc(m.withColumnRenamed("cu", "comp")), "comp", "left").select(
             "node", F.coalesce("mv", F.col("comp")).alias("comp")
         )
         if reliable:

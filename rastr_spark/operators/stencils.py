@@ -994,19 +994,25 @@ def extrapolate(rf: RasterFrame, method: str = "nearest") -> RasterFrame:
     # dense strips ship Σ(T+2h)² window cells; sparse donor lists ship each
     # donor once per ring tile. Mostly-NaN rasters have necessarily wide
     # proven radii (the nearest donor IS far), where dense windows move the
-    # raster 10-20× — the sparse path moves only the donors.
-    radii = radii.localCheckpoint(eager=True)
-    vol = radii.agg(
-        F.sum(
-            (F.lit(float(Tsz)) + 2.0 * F.col("h")) * (F.lit(float(Tsz)) + 2.0 * F.col("h"))
-        ).alias("dense")
-    ).collect()[0]
-    n_cells = float(meta.height) * float(meta.width)
+    # raster 10-20× — the sparse path moves only the donors. The probe runs
+    # only when some tile lacked a valid NaN-run bound (n_need > 0): a pure
+    # run-bound radius set has h < T, so the dense volume is bounded by
+    # ~9× tile cells and the strip gather is the right plan — gating on it
+    # keeps the common dense-raster-with-holes pre-pass (blur preserve_nan)
+    # free of the two extra driver actions.
     use_sparse = False
-    if vol["dense"] is not None and vol["dense"] > SPARSE_GATHER_DENSE_BLOWUP * n_cells:
-        donors = _donor_cells(rf).localCheckpoint(eager=True)
-        n_donors = donors.agg(F.sum(F.size("di"))).collect()[0][0] or 0
-        use_sparse = n_donors <= SPARSE_GATHER_MAX_DONORS
+    if n_need:
+        radii = radii.localCheckpoint(eager=True)
+        vol = radii.agg(
+            F.sum(
+                (F.lit(float(Tsz)) + 2.0 * F.col("h")) * (F.lit(float(Tsz)) + 2.0 * F.col("h"))
+            ).alias("dense")
+        ).collect()[0]
+        n_cells = float(meta.height) * float(meta.width)
+        if vol["dense"] is not None and vol["dense"] > SPARSE_GATHER_DENSE_BLOWUP * n_cells:
+            donors = _donor_cells(rf).localCheckpoint(eager=True)
+            n_donors = donors.agg(F.sum(F.size("di"))).collect()[0][0] or 0
+            use_sparse = n_donors <= SPARSE_GATHER_MAX_DONORS
     if use_sparse:
         filled_df = _sparse_nn_fill(rf, radii, donors)
     else:

@@ -871,53 +871,58 @@ def connected_components(
         )
         # reliable mode: persist (fault-tolerant — lost partitions recompute
         # from the parquet fences) instead of localCheckpoint (which would
-        # reintroduce the executor-loss failure mode the fences remove)
+        # reintroduce the executor-loss failure mode the fences remove).
+        # try/finally: an exception between persist() and the round's end
+        # (e.g. executor failure during the count) must not leak the block
+        # across retries in a long session (ADVICE r6).
         e2 = e2.persist() if reliable else e2.localCheckpoint(eager=False)
-        # the round's ONE driver action: materializes e2 (and, transitively,
-        # this round's lazily-checkpointed tables) and tests the fixpoint
-        n_cross = e2.count()
-        if metrics is not None:
-            metrics.append(
-                {"round": round_i, "changed": int(n_cross),
-                 "wall_sec": round(_time.time() - t0, 4)}
+        try:
+            # the round's ONE driver action: materializes e2 (and,
+            # transitively, this round's lazily-checkpointed tables) and
+            # tests the fixpoint
+            n_cross = e2.count()
+            if metrics is not None:
+                metrics.append(
+                    {"round": round_i, "changed": int(n_cross),
+                     "wall_sec": round(_time.time() - t0, 4)}
+                )
+            if n_cross == 0:
+                # translate the hash-order component winners to min NODE ids:
+                # deterministic canonical labels, independent of the hash
+                roots = labels.groupBy("comp").agg(F.min("node").alias("_root"))
+                return labels.join(_bc(roots), "comp").select(
+                    "node", F.col("_root").alias("comp")
+                )
+            sym2 = e2.unionByName(e2.select(F.col("cv").alias("cu"), F.col("cu").alias("cv")))
+            # each basin → its smallest adjacent basin (only if smaller: labels
+            # must be monotone non-increasing and always name a component member)
+            m = (
+                sym2.groupBy("cu")
+                .agg(F.min("cv").alias("mv"))
+                .filter(F.col("mv") < F.col("cu"))
             )
-        if n_cross == 0:
+            # one self-composition shortcuts merge CHAINS (a→b→c becomes a→c);
+            # m is basin-sized (≪ nodes), so this join is cheap
+            m = (
+                m.join(
+                    _bc(m.select(F.col("cu").alias("mv"), F.col("mv").alias("_mm"))),
+                    "mv",
+                    "left",
+                )
+                .select("cu", F.coalesce("_mm", F.col("mv")).alias("mv"))
+            )
+            labels = labels.join(_bc(m.withColumnRenamed("cu", "comp")), "comp", "left").select(
+                "node", F.coalesce("mv", F.col("comp")).alias("comp")
+            )
+            if reliable:
+                # the write is the round's commit point: a crash before it
+                # re-runs this round from labels_r{i}; after it, resume skips
+                labels = _parquet_fence(labels, f"{reliable_dir}/labels_r{round_i + 1}")
+            else:
+                labels = labels.localCheckpoint(eager=False)
+        finally:
             if reliable:
                 e2.unpersist()
-            # translate the hash-order component winners to min NODE ids:
-            # deterministic canonical labels, independent of the hash
-            roots = labels.groupBy("comp").agg(F.min("node").alias("_root"))
-            return labels.join(_bc(roots), "comp").select(
-                "node", F.col("_root").alias("comp")
-            )
-        sym2 = e2.unionByName(e2.select(F.col("cv").alias("cu"), F.col("cu").alias("cv")))
-        # each basin → its smallest adjacent basin (only if smaller: labels
-        # must be monotone non-increasing and always name a component member)
-        m = (
-            sym2.groupBy("cu")
-            .agg(F.min("cv").alias("mv"))
-            .filter(F.col("mv") < F.col("cu"))
-        )
-        # one self-composition shortcuts merge CHAINS (a→b→c becomes a→c);
-        # m is basin-sized (≪ nodes), so this join is cheap
-        m = (
-            m.join(
-                _bc(m.select(F.col("cu").alias("mv"), F.col("mv").alias("_mm"))),
-                "mv",
-                "left",
-            )
-            .select("cu", F.coalesce("_mm", F.col("mv")).alias("mv"))
-        )
-        labels = labels.join(_bc(m.withColumnRenamed("cu", "comp")), "comp", "left").select(
-            "node", F.coalesce("mv", F.col("comp")).alias("comp")
-        )
-        if reliable:
-            # the write is the round's commit point: a crash before it
-            # re-runs this round from labels_r{i}; after it, resume skips here
-            labels = _parquet_fence(labels, f"{reliable_dir}/labels_r{round_i + 1}")
-            e2.unpersist()
-        else:
-            labels = labels.localCheckpoint(eager=False)
     raise RuntimeError(
         f"connected_components did not converge in {max_iters} rounds — "
         "raise max_iters (basin contraction needs ~log2(n) rounds)"
@@ -1135,13 +1140,18 @@ def build_dedup_index(
 
 def validate_index_params(
     spark, index_dir: str, *, n: int, num_hashes: int, bands: int,
-    hash_family: str,
+    hash_family: str, threshold: float | None = None,
 ) -> None:
     """Fail loudly when banding parameters disagree with the persisted index's
     manifest (:func:`build_dedup_index`). Only a MISSING manifest is accepted
     (pre-manifest index — the signature-length check in
     :func:`lsh_buckets_from_signatures` still guards num_hashes); a corrupt
-    or unreadable one propagates, never silently skips validation."""
+    or unreadable one propagates, never silently skips validation.
+
+    ``threshold`` is validated too when the caller passes one (ADVICE r6: a
+    silently different Jaccard threshold changes assignment semantics);
+    ``None`` skips that field for callers that deliberately re-verify at a
+    different bar."""
     fs, marker = _hadoop_fs(spark, f"{index_dir}/params")
     if not fs.exists(marker):
         return  # pre-manifest index: length validation still applies
@@ -1151,6 +1161,9 @@ def validate_index_params(
         n=row["n"], num_hashes=row["num_hashes"], bands=row["bands"],
         hash_family=row["hash_family"],
     )
+    if threshold is not None:
+        got["threshold"] = float(threshold)
+        built["threshold"] = float(row["threshold"])
     if got != built:
         raise ValueError(
             f"dedup index at {index_dir} was built with {built}, "
@@ -1198,7 +1211,7 @@ def incremental_dedup_assign(
     spark = new_docs.sparkSession
     validate_index_params(
         spark, index_dir, n=n, num_hashes=num_hashes, bands=bands,
-        hash_family=hash_family,
+        hash_family=hash_family, threshold=threshold,
     )
     fps = spark.read.parquet(f"{index_dir}/fingerprints")
     sigs = spark.read.parquet(f"{index_dir}/signatures")

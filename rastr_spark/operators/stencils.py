@@ -216,7 +216,10 @@ def stencil_apply(
 
     ``padded`` is the (th+2h)×(tw+2h) window in float64 with NaN where no data was
     received (outside-grid or missing tiles); ``valid_mask`` marks cells inside the
-    grid. The kernel returns the (th, tw) core. Halo must fit a tile (h ≤ T).
+    grid. The kernel returns the (th, tw) core. The h ≤ T constraint applies
+    only to the ring-offset builder path (``targets is None`` with small R);
+    the targeted builder routinely assembles per-tile radii far above T, up
+    to the grid diagonal (ADVICE r6 docstring fix).
 
     ``targets``: optional (tile_row, tile_col) set — only these tiles are
     computed (the caller merges untouched tiles back). Message generation

@@ -22,8 +22,6 @@ the fuzzy pass, and one final join back to the annotations.
 
 from __future__ import annotations
 
-from pathlib import Path
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -221,10 +219,13 @@ def fuzzy_dedup_checkpointed(
     # resumes WITHIN clustering — a mid-round crash of a 100 TB job restarts
     # at the last committed round, not at round 0). The dir is keyed by the
     # effective fingerprint so a parameter change can never resume from
-    # another run's label tables.
+    # another run's label tables. Built by string concatenation, NOT pathlib:
+    # Path() collapses URI schemes ('s3a://bucket/x' → 's3a:/bucket/x') and
+    # the fence machinery (_hadoop_fs) exists precisely so a non-local
+    # checkpoint root works (ADVICE r6).
     import hashlib
 
-    cc_dir = str(Path(ckpt_dir) / f"cc_rounds_{hashlib.md5(eff_fp.encode()).hexdigest()[:16]}")
+    cc_dir = f"{ckpt_dir}/cc_rounds_{hashlib.md5(eff_fp.encode()).hexdigest()[:16]}"
 
     def build_components() -> DataFrame:
         rounds: list[dict] = []
@@ -236,12 +237,15 @@ def fuzzy_dedup_checkpointed(
         return comp
 
     comp_stage = cm.run_stage(spark, "dedup_components", eff_fp, build_components)
-    if not comp_stage.resumed:
-        # the stage manifest is committed: the per-round label tables are
-        # dead weight now (rounds × nodes of parquet per run) — drop them
-        from ..functions.dedup import _hadoop_fs
+    # the stage manifest is committed: the per-round label tables are dead
+    # weight now (rounds × nodes of parquet per run) — drop them on EVERY
+    # invocation that sees the committed stage, not just the one that built
+    # it (a crash between manifest commit and this delete used to orphan the
+    # tables forever, since the resumed branch never cleaned — ADVICE r6)
+    from ..functions.dedup import _hadoop_fs
 
-        fs, jpath = _hadoop_fs(spark, cc_dir)
+    fs, jpath = _hadoop_fs(spark, cc_dir)
+    if fs.exists(jpath):
         fs.delete(jpath, True)
     assign_stage = cm.run_stage(
         spark,

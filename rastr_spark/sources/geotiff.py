@@ -145,6 +145,16 @@ def _lzw_encode(data: bytes) -> bytes:
         w = bytes([b])
     if w:
         emit(d[w])
+        # the decoder adds a table entry for this final code too, and widens
+        # BEFORE reading the next symbol when its table hits the early-change
+        # boundary — so the width check must run once more or the EOI is
+        # written one bit narrower than the decoder reads it (libtiff's
+        # LZWPostEncode increments free_ent after the flushed code for the
+        # same reason; found by the 8002×2-byte hypothesis example, where the
+        # stream ends exactly at the 510-entry boundary)
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
     emit(_LZW_EOI)
     if nbits:
         res.append((acc << (8 - nbits)) & 0xFF)

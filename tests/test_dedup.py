@@ -499,6 +499,21 @@ class TestIncrementalDedup:
         assert r["canonical_id"] in (1, 2) and r["match_kind"] == "near"
         assert r["canonical_id"] == 1
 
+    def test_mismatched_threshold_fails_loudly(self, spark, tmp_path):
+        # ADVICE r6: a silently different Jaccard threshold changes
+        # assignment semantics — the manifest now validates it too
+        idx_docs = self._index_docs(spark)
+        D.build_dedup_index(
+            idx_docs, index_dir=str(tmp_path / "ix"), n=2, num_hashes=8,
+            bands=4, threshold=0.5,
+        )
+        shard = _docs(spark, [(800, "some new document text with enough words here")])
+        with pytest.raises(ValueError, match="was built with"):
+            D.incremental_dedup_assign(
+                shard, idx_docs, index_dir=str(tmp_path / "ix"), n=2,
+                num_hashes=8, bands=4, threshold=0.8,
+            )
+
     def test_mismatched_banding_fails_loudly(self, spark, tmp_path):
         idx_docs = self._index_docs(spark)
         D.build_dedup_index(

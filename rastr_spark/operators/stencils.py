@@ -82,6 +82,25 @@ def halo_messages(rf: RasterFrame, h: int) -> DataFrame:
     msgs = []
     for dr in range(-R, R + 1):
         for dc in range(-R, R + 1):
+            if dr == 0 and dc == 0:
+                # the centre message always covers the whole tile (r_lo=0,
+                # r_hi=th, c_lo=0, c_hi=tw for the self offset) — pass the
+                # values array through instead of reconstructing it
+                # element-by-element with interpreted slice/flatten (one
+                # per-cell HOF eval per cell of the raster per stencil call)
+                msgs.append(
+                    F.struct(
+                        F.col("tile_row").cast("int").alias("tile_row"),
+                        F.col("tile_col").cast("int").alias("tile_col"),
+                        (F.col("tile_row") * Tsz).cast("int").alias("gr0"),
+                        (F.col("tile_col") * Tsz).cast("int").alias("gc0"),
+                        F.col("th").cast("int").alias("n_rows"),
+                        F.col("tw").cast("int").alias("n_cols"),
+                        F.col("values").alias("strip"),
+                        F.lit(int(h)).cast("int").alias("h"),
+                    )
+                )
+                continue
             ttr = F.col("tile_row") + dr
             ttc = F.col("tile_col") + dc
             tth = F.least(F.lit(Tsz), F.lit(meta.height) - ttr * Tsz)
@@ -184,10 +203,17 @@ def halo_messages_targeted(rf: RasterFrame, h: int | None, targets: DataFrame) -
     n_rows = r_hi - r_lo
     n_cols = c_hi - c_lo
     tw_col = F.col("tw")
-    strip = F.flatten(
-        F.transform(
-            F.sequence(r_lo, r_hi - 1),
-            lambda r: F.slice(F.col("values"), r * tw_col + c_lo + 1, n_cols),
+    # self pair (dr=dc=0) always covers the whole tile — pass values through
+    # instead of the per-cell interpreted slice/flatten reconstruction
+    # (same fast path as the ring-offset builder's centre message)
+    strip = F.when(
+        (drc == 0) & (dcc == 0), F.col("values")
+    ).otherwise(
+        F.flatten(
+            F.transform(
+                F.sequence(r_lo, r_hi - 1),
+                lambda r: F.slice(F.col("values"), r * tw_col + c_lo + 1, n_cols),
+            )
         )
     )
     return pairs.filter((n_rows > 0) & (n_cols > 0)).select(

@@ -637,25 +637,44 @@ def _nan_tile_bbox(df: DataFrame, meta: RasterMeta, keys: DataFrame) -> DataFram
     bounding box, computed ONLY for the given key tiles (broadcast semi-join;
     the rep-bound path's input, so a small hole in a big tile still gathers
     a hole-sized window)."""
-    th, tw = tile_dims_cols(meta)
-    base = (
-        df.join(
-            F.broadcast(keys.select("tile_row", "tile_col")),
-            ["tile_row", "tile_col"],
-            "left_semi",
-        )
-        .select("tile_row", "tile_col", tw.alias("tw"), "values")
-    )
-    tw_c = F.col("tw")
-    nan_i = F.transform("values", lambda v, i: F.when(F.isnan(v), i))
-    nan_c = F.transform("values", lambda v, i: F.when(F.isnan(v), i % tw_c))
-    return base.select(
-        "tile_row",
-        "tile_col",
-        F.floor(F.array_min(nan_i) / tw_c).cast("int").alias("rmin"),
-        F.floor(F.array_max(nan_i) / tw_c).cast("int").alias("rmax"),
-        F.array_min(nan_c).cast("int").alias("cmin"),
-        F.array_max(nan_c).cast("int").alias("cmax"),
+    Tsz = meta.tile_size
+    W = meta.width
+    base = df.join(
+        F.broadcast(keys.select("tile_row", "tile_col")),
+        ["tile_row", "tile_col"],
+        "left_semi",
+    ).select("tile_row", "tile_col", "values")
+
+    # vectorized Arrow pass (r7, same treatment as _donor_tile_summary): the
+    # interpreted two-transform form re-evaluated a per-cell lambda twice per
+    # cell of every key tile
+    def kernel(it):
+        for pdf in it:
+            trs = pdf["tile_row"].to_numpy()
+            tcs = pdf["tile_col"].to_numpy()
+            out: dict = {
+                "tile_row": [], "tile_col": [],
+                "rmin": [], "rmax": [], "cmin": [], "cmax": [],
+            }
+            for i in range(len(pdf)):
+                vals = np.asarray(pdf["values"].iloc[i], dtype=np.float64)
+                idx = np.nonzero(np.isnan(vals))[0]
+                if idx.size == 0:
+                    continue
+                tw_ = min(Tsz, W - int(tcs[i]) * Tsz)
+                cols = idx % tw_
+                out["tile_row"].append(int(trs[i]))
+                out["tile_col"].append(int(tcs[i]))
+                out["rmin"].append(int(idx[0] // tw_))
+                out["rmax"].append(int(idx[-1] // tw_))
+                out["cmin"].append(int(cols.min()))
+                out["cmax"].append(int(cols.max()))
+            if out["tile_row"]:
+                yield pd.DataFrame(out)
+
+    return base.mapInPandas(
+        kernel,
+        "tile_row int, tile_col int, rmin int, rmax int, cmin int, cmax int",
     )
 
 

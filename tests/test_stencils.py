@@ -111,6 +111,40 @@ class TestBlur:
         b = make_rf(spark, arr, tile_size=8).blur(0.8).to_numpy()
         np.testing.assert_allclose(a, b, rtol=1e-12)
 
+    def test_fused_nan_path_matches_composed_pipeline(self, spark):
+        """The fused preserve_nan round (r7: local NN fill + reflect + blur +
+        restore in one stencil pass) must be BIT-identical to the composed
+        extrapolate → blur(preserve_nan=False) → restore-mask pipeline it
+        replaced, on layouts covering scattered NaN, a deep blob, and a NaN
+        band on the grid edge (reflection reads filled cells there)."""
+        from pyspark.sql import functions as F
+
+        from rastr_spark.operators.elementwise import _binary
+        from rastr_spark.operators.stencils import extrapolate
+
+        rng = np.random.RandomState(13)
+        layouts = {}
+        scattered = rng.rand(12, 12) * 5
+        scattered[rng.rand(12, 12) < 0.1] = np.nan
+        layouts["scattered"] = scattered
+        blob = rng.rand(12, 12)
+        blob[3:9, 4:10] = np.nan  # 6×6 blob: interior deeper than the proof margin
+        layouts["blob"] = blob
+        band = rng.rand(12, 12)
+        band[:3, :] = np.nan  # NaN band on the reflected grid edge
+        layouts["edge-band"] = band
+        for name, arr in layouts.items():
+            for sigma in (0.5, 1.0):
+                rf = make_rf(spark, arr, tile_size=4)
+                composed = _binary(
+                    rf,
+                    extrapolate(rf).blur(sigma, preserve_nan=False),
+                    lambda o, b: F.when(F.isnan(o), F.lit(float("nan"))).otherwise(b),
+                    lambda o, b: np.where(np.isnan(o), np.nan, b),
+                ).to_numpy()
+                fused = rf.blur(sigma, preserve_nan=True).to_numpy()
+                np.testing.assert_array_equal(fused, composed, err_msg=f"{name} σ={sigma}")
+
 
 class TestSymmetricFill:
     def test_halo_wider_than_band_matches_np_symmetric(self):
